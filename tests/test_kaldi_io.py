@@ -1,0 +1,155 @@
+"""Codec tests: byte-golden fixtures hand-assembled from the Kaldi wire-format
+spec, plus write->read round trips (SURVEY.md §4 test plan)."""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from tpukaldi.io import kaldi_io as kio
+
+
+def _golden_fm(key, mat):
+    """Assemble a binary float-matrix ark entry byte by byte."""
+    buf = key.encode() + b" " + b"\x00B" + b"FM "
+    buf += b"\x04" + struct.pack("<i", mat.shape[0])
+    buf += b"\x04" + struct.pack("<i", mat.shape[1])
+    buf += mat.astype("<f4").tobytes()
+    return buf
+
+
+def test_read_mat_golden_bytes():
+    mat = np.arange(12, dtype=np.float32).reshape(3, 4)
+    stream = io.BytesIO(_golden_fm("utt1", mat))
+    key = kio.read_key(stream)
+    assert key == "utt1"
+    out = kio.read_mat(stream)
+    np.testing.assert_array_equal(out, mat)
+
+
+def test_mat_roundtrip_f32_f64():
+    rng = np.random.default_rng(0)
+    for dtype in (np.float32, np.float64):
+        mat = rng.standard_normal((17, 13)).astype(dtype)
+        buf = io.BytesIO()
+        kio.write_mat(buf, mat, key="abc")
+        buf.seek(0)
+        entries = list(kio.read_mat_ark(buf))
+        assert len(entries) == 1
+        key, out = entries[0]
+        assert key == "abc"
+        np.testing.assert_allclose(out, mat.astype(np.float32), rtol=1e-6)
+
+
+def test_multi_entry_ark():
+    buf = io.BytesIO()
+    mats = {f"u{i}": np.full((i + 1, 3), i, dtype=np.float32) for i in range(4)}
+    for k, m in mats.items():
+        kio.write_mat(buf, m, key=k)
+    buf.seek(0)
+    out = dict(kio.read_mat_ark(buf))
+    assert list(out) == list(mats)
+    for k in mats:
+        np.testing.assert_array_equal(out[k], mats[k])
+
+
+def test_vec_int_roundtrip():
+    vec = np.array([0, 5, 5, 5, 1917, 2, 2], dtype=np.int64)
+    buf = io.BytesIO()
+    kio.write_vec_int(buf, vec, key="ali1")
+    buf.seek(0)
+    out = dict(kio.read_vec_int_ark(buf))
+    np.testing.assert_array_equal(out["ali1"], vec)
+
+
+def test_vec_int_golden_bytes():
+    # 2-element alignment [7, 9]
+    raw = b"u \x00B\x04" + struct.pack("<i", 2)
+    raw += b"\x04" + struct.pack("<i", 7) + b"\x04" + struct.pack("<i", 9)
+    out = dict(kio.read_vec_int_ark(io.BytesIO(raw)))
+    np.testing.assert_array_equal(out["u"], [7, 9])
+
+
+def test_vec_flt_roundtrip():
+    vec = np.linspace(-1, 1, 29, dtype=np.float32)
+    buf = io.BytesIO()
+    kio.write_vec_flt(buf, vec, key="v")
+    buf.seek(0)
+    out = dict(kio.read_vec_flt_ark(buf))
+    np.testing.assert_allclose(out["v"], vec, rtol=1e-6)
+
+
+def test_compressed_mat_cm2():
+    # CM2: uint16 per entry, row-major
+    rows, cols = 5, 3
+    vals = np.arange(rows * cols, dtype=np.uint16)
+    min_v, rng_v = -2.0, 4.0
+    buf = b"k \x00B" + b"CM2" + b" "
+    buf += struct.pack("<ff", min_v, rng_v) + struct.pack("<ii", rows, cols)
+    buf += vals.astype("<u2").tobytes()
+    out = dict(kio.read_mat_ark(io.BytesIO(buf)))["k"]
+    expected = min_v + rng_v / 65535.0 * vals.astype(np.float64)
+    np.testing.assert_allclose(out, expected.reshape(rows, cols), rtol=1e-5)
+
+
+def test_compressed_mat_cm1():
+    # format-1: per-column percentile headers + uint8 data (column-major)
+    rows, cols = 4, 2
+    min_v, rng_v = 0.0, 1.0
+    headers = np.array(
+        [[0, 16384, 49152, 65535], [0, 16384, 49152, 65535]], dtype="<u2"
+    )
+    data = np.array([[0, 64, 192, 255], [32, 100, 200, 255]], dtype=np.uint8)
+    buf = b"k \x00B" + b"CM " + struct.pack("<ff", min_v, rng_v)
+    buf += struct.pack("<ii", rows, cols)
+    buf += headers.tobytes() + data.tobytes()
+    out = dict(kio.read_mat_ark(io.BytesIO(buf)))["k"]
+    assert out.shape == (rows, cols)
+    p = headers[0].astype(np.float64) / 65535.0
+    # byte 0 -> p0, byte 64 -> p25, byte 192 -> p75, byte 255 -> p100
+    np.testing.assert_allclose(out[:, 0], [p[0], p[1], p[2], p[3]], atol=1e-6)
+
+
+def test_text_matrix():
+    raw = b"u  [\n  1 2 3 \n  4 5 6 ]\n"
+    out = dict(kio.read_mat_ark(io.BytesIO(raw)))["u"]
+    np.testing.assert_array_equal(out, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_scp_offsets(tmp_path):
+    ark = tmp_path / "feats.ark"
+    scp = tmp_path / "feats.scp"
+    mats = {f"utt{i}": np.random.rand(6 + i, 5).astype(np.float32) for i in range(3)}
+    with kio.ArkScpWriter(str(ark), str(scp)) as w:
+        for k, m in mats.items():
+            w.write(k, m)
+    out = dict(kio.read_mat_scp(str(scp)))
+    assert set(out) == set(mats)
+    for k in mats:
+        np.testing.assert_allclose(out[k], mats[k], rtol=1e-6)
+    # random access through one scp entry
+    entries = dict(kio.read_scp_entries(str(scp)))
+    np.testing.assert_allclose(kio.read_mat(entries["utt1"]), mats["utt1"])
+
+
+def test_riff_wav():
+    samples = (np.sin(np.linspace(0, 20, 400)) * 10000).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    riff = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    riff += b"fmt " + struct.pack("<I", 16) + fmt
+    riff += b"data" + struct.pack("<I", len(data)) + data
+    out = kio.read_vec_flt(io.BytesIO(riff))
+    np.testing.assert_array_equal(out, samples.astype(np.float32))
+
+
+def test_truncated_stream_raises():
+    mat = np.zeros((3, 3), dtype=np.float32)
+    buf = io.BytesIO()
+    kio.write_mat(buf, mat, key="u")
+    raw = buf.getvalue()[:-5]
+    with pytest.raises(kio.KaldiIOError):
+        stream = io.BytesIO(raw)
+        kio.read_key(stream)
+        kio.read_mat(stream)
