@@ -1,0 +1,122 @@
+"""Batch assembly: chunk arrays -> fixed-shape device-ready batches.
+
+Reference semantics (core.py:577-608): sequential models get (T, B, D)
+batches padded to the longest sentence in the batch with a random number of
+leading zeros (train-time regularization); non-sequential models get flat
+(B, D) slices of the pre-shuffled frame matrix; forward mode runs whole
+utterances at batch size 1.
+
+TPU addition: **bucketed padding** — T is rounded up to a bucket boundary so
+XLA compiles one program per bucket instead of one per distinct max-length
+(SURVEY.md §5.7 TPU note).  Padded frames carry label 0 and are included in
+the loss exactly like the reference's zero-padding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .chunk_loader import ChunkData
+
+DEFAULT_BUCKETS = (25, 50, 75, 100, 150, 200, 300, 400, 500, 750, 1000, 1500, 2000)
+
+
+def bucket_for(length: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    return int(np.ceil(length / 500) * 500)
+
+
+@dataclass
+class SeqBatch:
+    feats: np.ndarray  # (T, B, D) float32
+    labs: np.ndarray  # (T, B, L) int32
+    names: List[str]
+    lengths: np.ndarray  # true sentence lengths (B,)
+
+
+@dataclass
+class FrameBatch:
+    feats: np.ndarray  # (B, D)
+    labs: np.ndarray  # (B, L)
+
+
+def iter_frame_batches(chunk: ChunkData, batch_size: int) -> Iterator[FrameBatch]:
+    """Flat frame batches for non-sequential models (core.py:600-603).
+    The trailing partial batch is dropped, as in the reference
+    (N_batches = N // batch_size, core.py:558-559)."""
+    n_batches = chunk.n_frames // batch_size
+    for i in range(n_batches):
+        beg, end = i * batch_size, (i + 1) * batch_size
+        yield FrameBatch(feats=chunk.feats[beg:end], labs=chunk.labs[beg:end])
+
+
+def iter_seq_batches(
+    chunk: ChunkData,
+    batch_size: int,
+    rng: Optional[np.random.Generator] = None,
+    pad_to_bucket: bool = True,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+) -> Iterator[SeqBatch]:
+    """Sentence batches for sequential models (core.py:581-598).
+
+    `rng` enables the reference's random-left-zero-padding regularization;
+    None places each sentence at offset 0 (valid/forward determinism).
+    """
+    lengths = chunk.sentence_lengths
+    starts = np.concatenate([[0], chunk.end_index[:-1]])
+    n_batches = chunk.n_sentences // batch_size
+    L = chunk.labs.shape[1]
+    for i in range(n_batches):
+        sl = slice(i * batch_size, (i + 1) * batch_size)
+        batch_lens = lengths[sl]
+        batch_starts = starts[sl]
+        max_len = int(batch_lens.max())
+        T = bucket_for(max_len, buckets) if pad_to_bucket else max_len
+        feats = np.zeros((T, batch_size, chunk.feats.shape[1]), dtype=np.float32)
+        labs = np.zeros((T, batch_size, L), dtype=np.int64)
+        for k in range(batch_size):
+            ln = int(batch_lens[k])
+            n_zeros = T - ln
+            off = int(rng.integers(0, n_zeros + 1)) if rng is not None else 0
+            row = slice(int(batch_starts[k]), int(batch_starts[k]) + ln)
+            feats[off : off + ln, k, :] = chunk.feats[row]
+            if L:
+                labs[off : off + ln, k, :] = chunk.labs[row]
+        yield SeqBatch(
+            feats=feats,
+            labs=labs,
+            names=chunk.names[sl],
+            lengths=batch_lens,
+        )
+
+
+def iter_forward_utterances(chunk: ChunkData) -> Iterator[SeqBatch]:
+    """Forward mode: whole utterances one at a time (core.py:605-608)."""
+    starts = np.concatenate([[0], chunk.end_index[:-1]])
+    for i, name in enumerate(chunk.names):
+        row = slice(int(starts[i]), int(chunk.end_index[i]))
+        feats = chunk.feats[row][:, None, :]
+        labs = (
+            chunk.labs[row][:, None, :]
+            if chunk.labs.size
+            else np.zeros((feats.shape[0], 1, 0), dtype=np.int64)
+        )
+        yield SeqBatch(
+            feats=feats,
+            labs=labs,
+            names=[name],
+            lengths=np.array([feats.shape[0]]),
+        )
+
+
+def n_seq_batches(chunk: ChunkData, batch_size: int) -> int:
+    return chunk.n_sentences // batch_size
+
+
+def n_frame_batches(chunk: ChunkData, batch_size: int) -> int:
+    return chunk.n_frames // batch_size

@@ -1,0 +1,71 @@
+"""Label-stream reading: forced-alignment -> per-frame integer targets.
+
+The reference always shells `gunzip -c lab/ali*.gz | ali-to-pdf final.mdl`
+(data_io.py:44-51).  Resolution order here:
+
+1. a pre-dumped label ark (`labels.ark` / `lab.ark` / any `*.pdf.ark`) in the
+   folder — our native fast path (one-time dump via Kaldi is allowed by the
+   parity contract, SURVEY.md §2.3);
+2. the folder itself being an .ark file path;
+3. Kaldi `ali-to-pdf` / `ali-to-phones` subprocess when the binaries and
+   `ali*.gz` exist (full reference compatibility).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import subprocess
+from typing import Dict
+
+import numpy as np
+
+from ..io import kaldi_io as kio
+
+PREDUMPED_PATTERNS = ("labels.ark", "lab.ark", "*.pdf.ark", "*.lab.ark")
+
+
+def read_label_stream(folder: str, opts: str) -> Dict[str, np.ndarray]:
+    """Return {utt: int vector} for one label stream."""
+    if os.path.isfile(folder):
+        return dict(kio.read_vec_int_ark(folder))
+    if os.path.isdir(folder):
+        for pattern in PREDUMPED_PATTERNS:
+            hits = sorted(glob.glob(os.path.join(folder, pattern)))
+            if hits:
+                out: Dict[str, np.ndarray] = {}
+                for hit in hits:
+                    out.update(kio.read_vec_int_ark(hit))
+                return out
+        return _labels_via_kaldi(folder, opts)
+    raise FileNotFoundError(f"label source {folder!r} does not exist")
+
+
+def _labels_via_kaldi(folder: str, opts: str) -> Dict[str, np.ndarray]:
+    ali_files = sorted(glob.glob(os.path.join(folder, "ali*.gz")))
+    mdl = os.path.join(folder, "final.mdl")
+    cmd = (opts or "ali-to-pdf").split()[0]
+    if not ali_files or not os.path.isfile(mdl):
+        raise FileNotFoundError(
+            f"no pre-dumped label ark and no ali*.gz/final.mdl in {folder!r}"
+        )
+    if not shutil.which(cmd):
+        raise RuntimeError(
+            f"label folder {folder!r} needs Kaldi {cmd!r} which is not on PATH; "
+            f"pre-dump labels once with: gunzip -c {folder}/ali*.gz | "
+            f"{opts} {mdl} ark:- ark:{folder}/labels.ark"
+        )
+    shell = (
+        f"gunzip -c {' '.join(ali_files)} | {opts} {mdl} ark:- ark:-"
+    )
+    proc = subprocess.run(shell, shell=True, stdout=subprocess.PIPE, check=True)
+    import io as _io
+
+    return dict(kio.read_vec_int_ark(_io.BytesIO(proc.stdout)))
+
+
+def dump_label_stream(labels: Dict[str, np.ndarray], path: str) -> None:
+    with open(path, "wb") as f:
+        for key, vec in labels.items():
+            kio.write_vec_int(f, vec, key=key)

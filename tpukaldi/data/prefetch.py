@@ -1,0 +1,48 @@
+"""Background chunk prefetching: load chunk N+1 on a host thread while the
+device trains on chunk N (reference: core.py:509-512 prefetch thread;
+README "data caching").
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Optional
+
+from .chunk_loader import ChunkData
+
+
+class ChunkPrefetcher:
+    """Single-slot double buffer: `start(fn)` kicks off a loader thread,
+    `take()` joins and returns the result (re-raising loader errors)."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._result: Optional[ChunkData] = None
+        self._error: Optional[BaseException] = None
+
+    def start(self, loader: Callable[[], ChunkData]) -> None:
+        if self._thread is not None:
+            raise RuntimeError("prefetch already in flight; call take() first")
+        self._result, self._error = None, None
+
+        def run():
+            try:
+                self._result = loader()
+            except BaseException as e:  # propagated at take()
+                self._error = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def take(self) -> ChunkData:
+        if self._thread is None:
+            raise RuntimeError("no prefetch in flight")
+        self._thread.join()
+        self._thread = None
+        if self._error is not None:
+            raise self._error
+        return self._result
+
+    @property
+    def in_flight(self) -> bool:
+        return self._thread is not None

@@ -1,0 +1,240 @@
+"""Experiment planner: epochs x datasets x chunks -> an ordered task list
+with a file ledger for crash recovery.
+
+Mirrors the reference's pre-materialized plan (utils.py:1159 `create_lists`,
+:853 `create_configs`) but builds **in-memory task dataclasses** instead of
+thousands of chunk .cfg files.  The on-disk ledger is kept: per-chunk `.lst`
+feature lists, `.info` result files (existence = chunk done, the resume
+mechanism of run_exp.py:253), and rolling checkpoint paths.
+
+Determinism contract: chunk shuffles use `seed` exactly like the reference
+(random.seed(seed) once, then one shuffle per epoch — utils.py:1186,1214),
+and each chunk's runtime seed is `seed + ep + ck` (utils.py:1357).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from ..config.cfg import ExperimentConfig
+
+
+def split_chunks(seq: List, size: int) -> List[List]:
+    """Evenly partition a list into `size` consecutive slices
+    (same rounding as utils.py:748-753)."""
+    out = []
+    splitsize = 1.0 / size * len(seq)
+    for i in range(size):
+        out.append(seq[int(round(i * splitsize)) : int(round((i + 1) * splitsize))])
+    return out
+
+
+def validation_points(n_chunks: int, n_valid_per_epoch: int) -> List[int]:
+    """After which train chunks to validate (utils.py:756-768)."""
+    chunk_size = int(math.ceil(n_chunks / float(n_valid_per_epoch)))
+    points = []
+    for i in range(n_valid_per_epoch):
+        part = range(n_chunks)[i * chunk_size : (i + 1) * chunk_size]
+        if len(part):
+            points.append(part[-1])
+    return points
+
+
+@dataclass
+class ChunkTask:
+    """One unit of work: process one chunk in one phase."""
+
+    phase: str  # train | valid | forward
+    dataset: str
+    epoch: int
+    chunk: int
+    seed: int
+    fea_lists: Dict[str, List[str]]  # stream -> scp lines
+    lst_files: Dict[str, str]  # stream -> materialized .lst path
+    info_file: str
+    ckpt_files: Dict[str, str] = field(default_factory=dict)  # arch -> out ckpt
+    pretrain_files: Dict[str, str] = field(default_factory=dict)  # arch -> in ckpt
+    val_chunk: Optional[int] = None
+
+    @property
+    def done(self) -> bool:
+        return os.path.exists(self.info_file)
+
+    def write_lst_files(self) -> None:
+        for stream, path in self.lst_files.items():
+            with open(path, "w") as f:
+                f.writelines(line + "\n" for line in self.fea_lists[stream])
+
+
+@dataclass
+class EpochPlan:
+    epoch: int
+    tasks: List[ChunkTask]  # train chunks with interleaved valid tasks
+
+
+@dataclass
+class ExperimentPlan:
+    out_folder: str
+    exp_files: str
+    epochs: List[EpochPlan]
+    forward_tasks: List[ChunkTask]
+    final_ckpts: Dict[str, str]  # arch -> final checkpoint path
+
+    def all_tasks(self):
+        for ep in self.epochs:
+            yield from ep.tasks
+        yield from self.forward_tasks
+
+
+def _fmt(n: int, total: int) -> str:
+    width = max(math.ceil(math.log10(total)) if total > 1 else 1, 1)
+    return format(n, f"0{width}d")
+
+
+def _read_scp_lines(path: str) -> List[str]:
+    with open(path) as f:
+        return sorted(line.rstrip("\n") for line in f if line.strip())
+
+
+def build_plan(exp: ExperimentConfig, n_valid_per_epoch: int = 1) -> ExperimentPlan:
+    out_folder = exp.out_folder
+    exp_files = os.path.join(out_folder, "exp_files")
+    os.makedirs(exp_files, exist_ok=True)
+
+    n_ep = exp.n_epochs if not exp.production else 0
+    rng = random.Random(exp.seed)
+    arch_names = list(exp.archs)
+
+    # --- training epochs with interleaved validation
+    epochs: List[EpochPlan] = []
+    rolling_ckpt: Dict[str, str] = {
+        a: exp.archs[a].pretrain_file for a in arch_names
+    }
+    for ep in range(n_ep):
+        tasks: List[ChunkTask] = []
+        for ds_name in exp.train_with:
+            ds = exp.datasets[ds_name]
+            streams = {
+                name: _read_scp_lines(f.lst) for name, f in ds.features.items()
+            }
+            # consistent shuffle across streams: shuffle index order
+            n_utts = len(next(iter(streams.values())))
+            order = list(range(n_utts))
+            rng.shuffle(order)
+            chunk_idx = split_chunks(order, ds.n_chunks)
+            chunk_idx.reverse()  # reference reverses chunk order (utils.py:1216)
+            val_points = validation_points(ds.n_chunks, n_valid_per_epoch)
+            for ck in range(ds.n_chunks):
+                base = f"train_{ds_name}_ep{_fmt(ep, n_ep)}_ck{_fmt(ck, ds.n_chunks)}"
+                lst_files = {
+                    s: os.path.join(exp_files, f"{base}_{s}.lst") for s in streams
+                }
+                fea_lists = {
+                    s: [streams[s][i] for i in chunk_idx[ck]] for s in streams
+                }
+                info = os.path.join(exp_files, base + ".info")
+                ckpts = {
+                    a: os.path.join(exp_files, f"{base}_{a}.ckpt")
+                    for a in arch_names
+                }
+                task = ChunkTask(
+                    phase="train",
+                    dataset=ds_name,
+                    epoch=ep,
+                    chunk=ck,
+                    seed=exp.seed + ep + ck,
+                    fea_lists=fea_lists,
+                    lst_files=lst_files,
+                    info_file=info,
+                    ckpt_files=ckpts,
+                    pretrain_files=dict(rolling_ckpt),
+                )
+                tasks.append(task)
+                rolling_ckpt = dict(ckpts)
+
+                if ck in val_points:
+                    for val_ds_name in exp.valid_with:
+                        vds = exp.datasets[val_ds_name]
+                        vstreams = {
+                            n: _read_scp_lines(f.lst)
+                            for n, f in vds.features.items()
+                        }
+                        n_vutts = len(next(iter(vstreams.values())))
+                        vorder = list(range(n_vutts))
+                        rng.shuffle(vorder)
+                        vchunks = split_chunks(vorder, vds.n_chunks)
+                        for vck in range(vds.n_chunks):
+                            vbase = (
+                                f"valid_{val_ds_name}_ep{_fmt(ep, n_ep)}"
+                                f"_trCk{_fmt(ck, ds.n_chunks)}"
+                                f"_ck{_fmt(vck, vds.n_chunks)}"
+                            )
+                            tasks.append(
+                                ChunkTask(
+                                    phase="valid",
+                                    dataset=val_ds_name,
+                                    epoch=ep,
+                                    chunk=ck,
+                                    val_chunk=vck,
+                                    seed=exp.seed + ep + vck,
+                                    fea_lists={
+                                        s: [vstreams[s][i] for i in vchunks[vck]]
+                                        for s in vstreams
+                                    },
+                                    lst_files={
+                                        s: os.path.join(
+                                            exp_files, f"{vbase}_{s}.lst"
+                                        )
+                                        for s in vstreams
+                                    },
+                                    info_file=os.path.join(
+                                        exp_files, vbase + ".info"
+                                    ),
+                                    pretrain_files=dict(rolling_ckpt),
+                                )
+                            )
+        epochs.append(EpochPlan(epoch=ep, tasks=tasks))
+
+    final_ckpts = {
+        a: os.path.join(exp_files, f"final_{a}.ckpt") for a in arch_names
+    }
+
+    # --- forward tasks
+    forward_tasks: List[ChunkTask] = []
+    for ds_name in exp.forward_with:
+        ds = exp.datasets[ds_name]
+        streams = {name: _read_scp_lines(f.lst) for name, f in ds.features.items()}
+        n_utts = len(next(iter(streams.values())))
+        chunk_idx = split_chunks(list(range(n_utts)), ds.n_chunks)
+        for ck in range(ds.n_chunks):
+            base = f"forward_{ds_name}_ep{_fmt(max(n_ep - 1, 0), max(n_ep, 1))}_ck{_fmt(ck, ds.n_chunks)}"
+            forward_tasks.append(
+                ChunkTask(
+                    phase="forward",
+                    dataset=ds_name,
+                    epoch=max(n_ep - 1, 0),
+                    chunk=ck,
+                    seed=exp.seed,
+                    fea_lists={
+                        s: [streams[s][i] for i in chunk_idx[ck]] for s in streams
+                    },
+                    lst_files={
+                        s: os.path.join(exp_files, f"{base}_{s}.lst")
+                        for s in streams
+                    },
+                    info_file=os.path.join(exp_files, base + ".info"),
+                    pretrain_files=dict(final_ckpts),
+                )
+            )
+
+    return ExperimentPlan(
+        out_folder=out_folder,
+        exp_files=exp_files,
+        epochs=epochs,
+        forward_tasks=forward_tasks,
+        final_ckpts=final_ckpts,
+    )
