@@ -1,0 +1,226 @@
+"""Model-zoo tests: shapes/out_dim contracts and numerical parity of every
+recurrent cell against a slow numpy implementation of the reference
+equations (eval mode, bn off)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpukaldi.models import GRU, LSTM, MLP, RNN, liGRU, minimalGRU, resolve
+
+T, B, D, H = 7, 4, 10, 8
+
+
+def _opts_recurrent(prefix, bidir=False, bn=False, act="relu", drop=0.0):
+    return {
+        f"{prefix}_lay": str(H),
+        f"{prefix}_drop": str(drop),
+        f"{prefix}_use_laynorm_inp": "False",
+        f"{prefix}_use_batchnorm_inp": "False",
+        f"{prefix}_use_laynorm": "False",
+        f"{prefix}_use_batchnorm": "True" if bn else "False",
+        f"{prefix}_bidir": "True" if bidir else "False",
+        f"{prefix}_act": act,
+        f"{prefix}_orthinit": "True",
+    }
+
+
+def _init_apply(model_cls, opts, x, train=False):
+    model = model_cls(options=opts, inp_dim=x.shape[-1])
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x,
+        train=train,
+    )
+    out = model.apply(
+        variables, x, train=train,
+        rngs={"dropout": jax.random.key(2)},
+        mutable=["batch_stats"] if train else False,
+    )
+    if train:
+        out = out[0]
+    return model, variables, out
+
+
+def test_mlp_shapes_and_out_dim():
+    opts = {
+        "dnn_lay": "16,12",
+        "dnn_drop": "0.0,0.0",
+        "dnn_use_laynorm_inp": "False",
+        "dnn_use_batchnorm_inp": "False",
+        "dnn_use_batchnorm": "True,False",
+        "dnn_use_laynorm": "False,False",
+        "dnn_act": "relu,softmax",
+    }
+    x = jnp.ones((32, D))
+    model, variables, out = _init_apply(MLP, opts, x)
+    assert model.out_dim == 12
+    assert out.shape == (32, 12)
+    # log-softmax rows sum to 1 in prob space
+    np.testing.assert_allclose(np.exp(np.array(out)).sum(-1), 1.0, rtol=5e-4)
+    # train mode updates batch stats
+    _, variables2, out_tr = _init_apply(MLP, opts, x, train=True)
+    assert "batch_stats" in variables2
+
+
+@pytest.mark.parametrize("cls", [liGRU, GRU, minimalGRU, RNN, LSTM])
+@pytest.mark.parametrize("bidir", [False, True])
+def test_recurrent_shapes(cls, bidir):
+    opts = _opts_recurrent(cls.PREFIX, bidir=bidir)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((T, B, D)), jnp.float32)
+    model, variables, out = _init_apply(cls, opts, x)
+    want = H * (2 if bidir else 1)
+    assert model.out_dim == want
+    assert out.shape == (T, B, want)
+
+
+def _params_of(variables, *names):
+    p = variables["params"]
+    return [np.array(p[n]) for n in names]
+
+
+def _np_ligru(x, wh, wz, uh, uz, p=0.0):
+    T_, B_, _ = x.shape
+    H_ = uh.shape[0]
+    h = np.zeros((B_, H_))
+    outs = []
+    for t in range(T_):
+        wh_t = x[t] @ wh
+        wz_t = x[t] @ wz
+        zt = 1 / (1 + np.exp(-(wz_t + h @ uz)))
+        hcand = np.maximum(wh_t + h @ uh, 0) * (1 - p)
+        h = zt * h + (1 - zt) * hcand
+        outs.append(h)
+    return np.stack(outs)
+
+
+def test_ligru_matches_reference_equations():
+    # eval mode, biases enabled? use_bn False -> biases exist; zero them for
+    # a clean comparison by reading them out of params
+    opts = _opts_recurrent("ligru", drop=0.1)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((T, B, D)), jnp.float32)
+    model, variables, out = _init_apply(liGRU, opts, x)
+    wh, wz, uh, uz, bh, bz = _params_of(variables, "wh0", "wz0", "uh0", "uz0", "bh0", "bz0")
+    xn = np.array(x)
+    # include biases in the numpy reference
+    ref = _np_ligru_with_bias(xn, wh, wz, uh, uz, bh, bz, p=0.1)
+    np.testing.assert_allclose(np.array(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def _np_ligru_with_bias(x, wh, wz, uh, uz, bh, bz, p=0.0):
+    T_, B_, _ = x.shape
+    H_ = uh.shape[0]
+    h = np.zeros((B_, H_))
+    outs = []
+    for t in range(T_):
+        zt = 1 / (1 + np.exp(-(x[t] @ wz + bz + h @ uz)))
+        hcand = np.maximum(x[t] @ wh + bh + h @ uh, 0) * (1 - p)
+        h = zt * h + (1 - zt) * hcand
+        outs.append(h)
+    return np.stack(outs)
+
+
+def test_lstm_matches_reference_equations():
+    opts = _opts_recurrent("lstm", act="tanh")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((T, B, D)), jnp.float32)
+    model, variables, out = _init_apply(LSTM, opts, x)
+    wf, wi, wo, wc = _params_of(variables, "wf0", "wi0", "wo0", "wc0")
+    uf, ui, uo, uc = _params_of(variables, "uf0", "ui0", "uo0", "uc0")
+    bf, bi, bo, bc = _params_of(variables, "bf0", "bi0", "bo0", "bc0")
+    xn = np.array(x)
+    h = np.zeros((B, H))
+    c = np.zeros((B, H))
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    outs = []
+    for t in range(T):
+        ft = sig(xn[t] @ wf + bf + h @ uf)
+        it = sig(xn[t] @ wi + bi + h @ ui)
+        ot = sig(xn[t] @ wo + bo + h @ uo)
+        c = it * np.tanh(xn[t] @ wc + bc + h @ uc) + ft * c
+        h = ot * np.tanh(c)
+        outs.append(h)
+    np.testing.assert_allclose(np.array(out), np.stack(outs), rtol=2e-4, atol=2e-5)
+
+
+def test_gru_matches_reference_equations():
+    opts = _opts_recurrent("gru", act="tanh")
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((T, B, D)), jnp.float32)
+    model, variables, out = _init_apply(GRU, opts, x)
+    wh, wz, wr, uz, ur, uh = _params_of(variables, "wh0", "wz0", "wr0", "uz0", "ur0", "uh0")
+    bh, bz, br = _params_of(variables, "bh0", "bz0", "br0")
+    xn = np.array(x)
+    h = np.zeros((B, H))
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    outs = []
+    for t in range(T):
+        zt = sig(xn[t] @ wz + bz + h @ uz)
+        rt = sig(xn[t] @ wr + br + h @ ur)
+        at = xn[t] @ wh + bh + (rt * h) @ uh
+        h = zt * h + (1 - zt) * np.tanh(at)
+        outs.append(h)
+    np.testing.assert_allclose(np.array(out), np.stack(outs), rtol=2e-4, atol=2e-5)
+
+
+def test_bidir_is_forward_plus_reversed():
+    """Bidir output's first half == unidir forward; second half == unidir
+    over time-reversed input, re-reversed (the reference's flip-concat)."""
+    opts_uni = _opts_recurrent("rnn", bidir=False, act="tanh")
+    opts_bi = _opts_recurrent("rnn", bidir=True, act="tanh")
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((T, B, D)), jnp.float32)
+    model_bi = RNN(options=opts_bi, inp_dim=D)
+    variables = model_bi.init({"params": jax.random.key(5)}, x, train=False)
+    out_bi = model_bi.apply(variables, x, train=False)
+    model_uni = RNN(options=opts_uni, inp_dim=D)
+    out_f = model_uni.apply(variables, x, train=False)
+    out_b = model_uni.apply(variables, jnp.flip(x, axis=0), train=False)
+    np.testing.assert_allclose(np.array(out_bi[..., :H]), np.array(out_f), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.array(out_bi[..., H:]), np.array(jnp.flip(out_b, axis=0)), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_train_mode_bn_and_dropout():
+    opts = _opts_recurrent("ligru", bn=True, drop=0.2)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((T, B, D)), jnp.float32)
+    model = liGRU(options=opts, inp_dim=D)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=True
+    )
+    assert "batch_stats" in variables
+    out, updates = model.apply(
+        variables, x, train=True,
+        rngs={"dropout": jax.random.key(2)},
+        mutable=["batch_stats"],
+    )
+    assert out.shape == (T, B, H)
+    # running stats moved away from init
+    ra_mean = jax.tree_util.tree_leaves(updates["batch_stats"])[0]
+    assert np.abs(np.array(ra_mean)).sum() > 0
+
+
+def test_registry_resolution():
+    assert resolve("liGRU") is liGRU
+    assert resolve("MLP") is MLP
+    with pytest.raises(KeyError):
+        resolve("NoSuchModel", "neural_networks")
+
+
+def test_jit_compiles_once_per_shape():
+    opts = _opts_recurrent("ligru")
+    model = liGRU(options=opts, inp_dim=D)
+    x = jnp.ones((T, B, D))
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+
+    @jax.jit
+    def fwd(v, x):
+        return model.apply(v, x, train=False)
+
+    out1 = fwd(variables, x)
+    out2 = fwd(variables, x * 2)
+    assert out1.shape == out2.shape

@@ -1,0 +1,113 @@
+"""Shared building blocks for the model zoo.
+
+Semantics follow the reference's building blocks (neural_networks.py:23-57):
+- `act_fun`: relu/tanh/sigmoid/leaky_relu/elu/log-softmax/linear factory
+- `RefLayerNorm`: gamma*(x-mean)/(std+eps)+beta with the reference's
+  *std* (unbiased, not sqrt(var+eps)) normalization quirk
+- batchnorm with torch momentum 0.05 (flax momentum 0.95), eps 1e-5
+- uniform +-sqrt(0.01/(fan_in+fan_out)) feed-forward init, orthogonal
+  recurrent init
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config.schema import to_bool
+
+
+def act_fun(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    if name == "relu":
+        return jax.nn.relu
+    if name == "tanh":
+        return jnp.tanh
+    if name == "sigmoid":
+        return jax.nn.sigmoid
+    if name == "leaky_relu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+    if name == "elu":
+        return jax.nn.elu
+    if name == "softmax":
+        return lambda x: jax.nn.log_softmax(x, axis=-1)
+    if name == "linear":
+        return lambda x: x
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def bool_list(value: str):
+    return [to_bool(v) for v in value.split(",")]
+
+
+def int_list(value: str):
+    return [int(v) for v in value.split(",")]
+
+
+def float_list(value: str):
+    return [float(v) for v in value.split(",")]
+
+
+def glorot_small_uniform(fan_in: int, fan_out: int):
+    """Reference MLP init: U(+-sqrt(0.01/(fan_in+fan_out)))
+    (neural_networks.py:114-119)."""
+    bound = (0.01 / (fan_in + fan_out)) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_linear_uniform(fan_in: int):
+    """PyTorch nn.Linear default init: U(+-1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def orthogonal_init():
+    return nn.initializers.orthogonal()
+
+
+class RefLayerNorm(nn.Module):
+    """Reference LayerNorm (neural_networks.py:23-33): normalizes by the
+    unbiased std with eps *added to std*, not to variance."""
+
+    features: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.features,))
+        beta = self.param("beta", nn.initializers.zeros, (self.features,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        n = x.shape[-1]
+        var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
+        std = jnp.sqrt(var)
+        return gamma * (x - mean) / (std + self.eps) + beta
+
+
+def make_batchnorm(use_running_average: bool, name: str = None) -> nn.BatchNorm:
+    """Torch BatchNorm1d(momentum=0.05) equivalent."""
+    return nn.BatchNorm(
+        use_running_average=use_running_average,
+        momentum=0.95,
+        epsilon=1e-5,
+        name=name,
+    )
+
+
+def recurrent_drop_mask(module: nn.Module, train: bool, shape, p: float):
+    """The recurrent zoo's dropout convention (neural_networks.py:421-425):
+    one Bernoulli(1-p) mask reused across time at train, the scalar (1-p)
+    at eval.  (Not inverted dropout — preserved for parity.)"""
+    if train and p > 0.0:
+        key = module.make_rng("dropout")
+        return jax.random.bernoulli(key, 1.0 - p, shape).astype(jnp.float32)
+    return jnp.asarray(1.0 - p, dtype=jnp.float32)

@@ -1,0 +1,314 @@
+"""Recurrent model zoo: RNN, GRU, minimalGRU, Li-GRU, LSTM.
+
+Cell semantics match the reference exactly (neural_networks.py:300-485 LSTM,
+:486-655 GRU, :997-1155 liGRU, :1158-1317 minimalGRU, :1319-1461 RNN):
+
+- feed-forward gate projections hoisted out of the time loop and computed as
+  ONE fused (T*B, D) @ (D, G*H) matmul per layer (MXU-shaped);
+- optional batchnorm over the (T*B) flattening of each gate's feed-forward
+  path (train-mode stats computed before the recurrence — reference
+  semantics preserved);
+- the time recurrence as `lax.scan` with a single fused (B, H) @ (H, G*H)
+  recurrent matmul per step;
+- bidirectionality by batch-doubling with the time-flipped copy, split and
+  re-flipped after the scan (the reference's flip-concat trick, which keeps
+  the MXU busy on 2B rows instead of running two scans);
+- recurrent dropout as one Bernoulli mask shared across time (train) or the
+  scalar (1-p) (eval) — NOT inverted dropout, preserved for parity;
+- optional reference-style LayerNorm applied to h inside the recurrence.
+
+Tensor contract: x is (T, B, D) -> (T, B, out_dim).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config.schema import to_bool
+from .common import (
+    act_fun,
+    bool_list,
+    float_list,
+    int_list,
+    make_batchnorm,
+    orthogonal_init,
+    recurrent_drop_mask,
+    torch_linear_uniform,
+)
+
+
+def _ref_laynorm(x, gamma, beta, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    n = x.shape[-1]
+    var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
+    return gamma * (x - mean) / (jnp.sqrt(var) + eps) + beta
+
+
+class _RecurrentBase(nn.Module):
+    """Shared scaffold; subclasses define PREFIX, FF_GATES, REC_GATES and
+    a `step` building the per-timestep update."""
+
+    options: Dict[str, Any]
+    inp_dim: int
+
+    PREFIX = ""
+    FF_GATES = ()  # plain class attrs (no annotation: not dataclass fields)
+    REC_GATES = ()
+
+    @classmethod
+    def compute_out_dim(cls, options: Dict[str, str], inp_dim: int) -> int:
+        lay = int_list(options[f"{cls.PREFIX}_lay"])
+        bidir = to_bool(options[f"{cls.PREFIX}_bidir"])
+        return lay[-1] * (2 if bidir else 1)
+
+    @property
+    def out_dim(self) -> int:
+        return self.compute_out_dim(self.options, self.inp_dim)
+
+    # -- per-cell recurrence hooks -----------------------------------------
+    def init_state(self, batch: int, hidden: int):
+        return jnp.zeros((batch, hidden), dtype=jnp.float32)
+
+    def extra_params(self, i: int, hidden: int, orthinit: bool) -> Dict[str, Any]:
+        """Per-layer params outside the fused recurrent matmul (e.g. the
+        GRU candidate matrix applied to rt*h)."""
+        return {}
+
+    def step(self, state, ff_t, rec, extras, act, drop_mask):
+        raise NotImplementedError
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        o = self.options
+        p = self.PREFIX
+        lay = int_list(o[f"{p}_lay"])
+        drop = float_list(o[f"{p}_drop"])
+        use_bn = bool_list(o[f"{p}_use_batchnorm"])
+        use_ln = bool_list(o[f"{p}_use_laynorm"])
+        acts = o[f"{p}_act"].split(",")
+        bidir = to_bool(o[f"{p}_bidir"])
+        orthinit = to_bool(o.get(f"{p}_orthinit", "True"))
+
+        if to_bool(o.get(f"{p}_use_laynorm_inp", "False")):
+            gamma = self.param("ln0_gamma", nn.initializers.ones, (self.inp_dim,))
+            beta = self.param("ln0_beta", nn.initializers.zeros, (self.inp_dim,))
+            x = _ref_laynorm(x, gamma, beta)
+        if to_bool(o.get(f"{p}_use_batchnorm_inp", "False")):
+            T0, B0, D0 = x.shape
+            x = make_batchnorm(not train, name="bn0")(x.reshape(T0 * B0, D0))
+            x = x.reshape(T0, B0, D0)
+
+        n_ff = len(self.FF_GATES)
+        n_rec = len(self.REC_GATES)
+        current = self.inp_dim
+
+        for i, hidden in enumerate(lay):
+            T, B, D = x.shape
+            if bidir:
+                x = jnp.concatenate([x, jnp.flip(x, axis=0)], axis=1)
+            Bp = x.shape[1]
+            use_bias = not (use_ln[i] or use_bn[i])
+
+            # fused feed-forward gate projection: one MXU matmul for all gates
+            w = jnp.concatenate(
+                [
+                    self.param(f"w{g}{i}", torch_linear_uniform(D), (D, hidden))
+                    for g in self.FF_GATES
+                ],
+                axis=1,
+            )
+            ff = x.reshape(T * Bp, D) @ w
+            if use_bias:
+                b = jnp.concatenate(
+                    [
+                        self.param(
+                            f"b{g}{i}", torch_linear_uniform(D), (hidden,)
+                        )
+                        for g in self.FF_GATES
+                    ]
+                )
+                ff = ff + b
+            if use_bn[i]:
+                # per-feature BN over (T*B') == the reference's per-gate BNs
+                ff = make_batchnorm(not train, name=f"bn_ff{i}")(ff)
+            ff = ff.reshape(T, Bp, n_ff * hidden)
+
+            # fused recurrent weights (orthogonal per gate block)
+            u = jnp.concatenate(
+                [
+                    self.param(
+                        f"u{g}{i}",
+                        orthogonal_init() if orthinit else torch_linear_uniform(hidden),
+                        (hidden, hidden),
+                    )
+                    for g in self.REC_GATES
+                ],
+                axis=1,
+            )
+
+            extras = self.extra_params(i, hidden, orthinit)
+            drop_mask = recurrent_drop_mask(self, train, (Bp, hidden), drop[i])
+            act = act_fun(acts[i])
+            if use_ln[i]:
+                ln_gamma = self.param(f"ln{i}_gamma", nn.initializers.ones, (hidden,))
+                ln_beta = self.param(f"ln{i}_beta", nn.initializers.zeros, (hidden,))
+                ln = lambda h: _ref_laynorm(h, ln_gamma, ln_beta)
+            else:
+                ln = lambda h: h
+
+            def scan_step(state, ff_t, u=u, extras=extras, act=act,
+                          drop_mask=drop_mask, ln=ln):
+                state, out = self.step(
+                    state,
+                    ff_t,
+                    lambda h: h @ u,  # fused (B,H)@(H,n_rec*H)
+                    extras,
+                    act,
+                    drop_mask,
+                )
+                out = ln(out)
+                state = self.replace_output(state, out)
+                return state, out
+
+            state0 = self.init_state(Bp, hidden)
+            _, h = jax.lax.scan(scan_step, state0, ff)
+
+            if bidir:
+                h_f = h[:, : Bp // 2]
+                h_b = jnp.flip(h[:, Bp // 2 :], axis=0)
+                h = jnp.concatenate([h_f, h_b], axis=2)
+            x = h
+            current = h.shape[-1]
+        return x
+
+    def replace_output(self, state, out):
+        """Write the (possibly laynormed) h back into the carried state."""
+        return out
+
+
+def _split_gates(ff_t, n, hidden):
+    return [ff_t[..., k * hidden : (k + 1) * hidden] for k in range(n)]
+
+
+class liGRU(_RecurrentBase):
+    """Light GRU (the flagship cell): single update gate, ReLU candidate,
+    batchnorm on the feed-forward path (neural_networks.py:1130-1141)."""
+
+    PREFIX = "ligru"
+    FF_GATES = ("h", "z")
+    REC_GATES = ("h", "z")
+
+    def step(self, h, ff_t, rec, extras, act, drop_mask):
+        hidden = h.shape[-1]
+        wh_t, wz_t = _split_gates(ff_t, 2, hidden)
+        uh_h, uz_h = _split_gates(rec(h), 2, hidden)
+        zt = jax.nn.sigmoid(wz_t + uz_h)
+        hcand = act(wh_t + uh_h) * drop_mask
+        ht = zt * h + (1 - zt) * hcand
+        return ht, ht
+
+
+class GRU(_RecurrentBase):
+    """Standard GRU with reset gate (neural_networks.py:629-641).
+    The candidate matmul acts on rt*h so it cannot join the fused recurrent
+    matmul; it lives in `extras`."""
+
+    PREFIX = "gru"
+    FF_GATES = ("h", "z", "r")
+    REC_GATES = ("z", "r")
+
+    def extra_params(self, i, hidden, orthinit):
+        return {
+            "uh": self.param(
+                f"uh{i}",
+                orthogonal_init() if orthinit else torch_linear_uniform(hidden),
+                (hidden, hidden),
+            )
+        }
+
+    def step(self, h, ff_t, rec, extras, act, drop_mask):
+        hidden = h.shape[-1]
+        wh_t, wz_t, wr_t = _split_gates(ff_t, 3, hidden)
+        uz_h, ur_h = _split_gates(rec(h), 2, hidden)
+        zt = jax.nn.sigmoid(wz_t + uz_h)
+        rt = jax.nn.sigmoid(wr_t + ur_h)
+        at = wh_t + (rt * h) @ extras["uh"]
+        hcand = act(at) * drop_mask
+        ht = zt * h + (1 - zt) * hcand
+        return ht, ht
+
+
+class minimalGRU(_RecurrentBase):
+    """Minimal GRU: the gate multiplies the state inside the candidate
+    (neural_networks.py:1291-1297)."""
+
+    PREFIX = "minimalgru"
+    FF_GATES = ("h", "z")
+    REC_GATES = ("z",)
+
+    def extra_params(self, i, hidden, orthinit):
+        return {
+            "uh": self.param(
+                f"uh{i}",
+                orthogonal_init() if orthinit else torch_linear_uniform(hidden),
+                (hidden, hidden),
+            )
+        }
+
+    def step(self, h, ff_t, rec, extras, act, drop_mask):
+        hidden = h.shape[-1]
+        wh_t, wz_t = _split_gates(ff_t, 2, hidden)
+        (uz_h,) = _split_gates(rec(h), 1, hidden)
+        zt = jax.nn.sigmoid(wz_t + uz_h)
+        at = wh_t + (zt * h) @ extras["uh"]
+        hcand = act(at) * drop_mask
+        ht = zt * h + (1 - zt) * hcand
+        return ht, ht
+
+
+class RNN(_RecurrentBase):
+    """Vanilla recurrence (neural_networks.py:1438-1447)."""
+
+    PREFIX = "rnn"
+    FF_GATES = ("h",)
+    REC_GATES = ("h",)
+
+    def step(self, h, ff_t, rec, extras, act, drop_mask):
+        hidden = h.shape[-1]
+        (wh_t,) = _split_gates(ff_t, 1, hidden)
+        (uh_h,) = _split_gates(rec(h), 1, hidden)
+        ht = act(wh_t + uh_h) * drop_mask
+        return ht, ht
+
+
+class LSTM(_RecurrentBase):
+    """LSTM with the reference's drop-mask-on-candidate convention
+    (neural_networks.py:457-469)."""
+
+    PREFIX = "lstm"
+    FF_GATES = ("f", "i", "o", "c")
+    REC_GATES = ("f", "i", "o", "c")
+
+    def init_state(self, batch, hidden):
+        z = jnp.zeros((batch, hidden), dtype=jnp.float32)
+        return (z, z)
+
+    def step(self, state, ff_t, rec, extras, act, drop_mask):
+        h, c = state
+        hidden = h.shape[-1]
+        wf_t, wi_t, wo_t, wc_t = _split_gates(ff_t, 4, hidden)
+        uf_h, ui_h, uo_h, uc_h = _split_gates(rec(h), 4, hidden)
+        ft = jax.nn.sigmoid(wf_t + uf_h)
+        it = jax.nn.sigmoid(wi_t + ui_h)
+        ot = jax.nn.sigmoid(wo_t + uo_h)
+        ct = it * act(wc_t + uc_h) * drop_mask + ft * c
+        ht = ot * act(ct)
+        return (ht, ct), ht
+
+    def replace_output(self, state, out):
+        _, c = state
+        return (out, c)
