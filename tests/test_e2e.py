@@ -1,0 +1,70 @@
+"""End-to-end smoke: the full experiment driver on the synthetic corpus —
+config -> plan -> train (2 epochs, chunked, with validation + annealing) ->
+res.res -> final checkpoints -> forward posterior arks; then ledger resume
+and the data-parallel mesh path on the 8-device CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpukaldi.data.synth import generate_corpus, write_cfg
+from tpukaldi.io import read_mat_ark
+from tpukaldi.tools.run_exp import run_experiment
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    return generate_corpus(str(root / "corpus"), n_utts=10, seed=5, noise=0.4)
+
+
+def test_full_mlp_experiment(corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("exp_out"))
+    cfg = write_cfg(corpus, out, arch="MLP", n_epochs=3, n_chunks=2,
+                    batch_size=64, lr=0.3)
+    exp = run_experiment(cfg)
+
+    # res.res has one line per epoch in the reference format
+    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    assert len(lines) == 3
+    assert lines[0].startswith("ep=0 tr=")
+    assert "valid=synth_dev" in lines[0]
+    assert "lr_MLP_layers1=" in lines[0]
+
+    # training made progress: err decreased across epochs
+    import re
+
+    losses = [float(re.search(r"valid=\S+ loss=(\d+\.\d+)", l).group(1))
+              for l in lines]
+    assert losses[-1] < losses[0]
+
+    # final checkpoint + posterior ark exist; posteriors decode-ready
+    ef = os.path.join(out, "exp_files")
+    assert os.path.exists(os.path.join(ef, "final_MLP_layers1.ckpt"))
+    arks = [f for f in os.listdir(ef) if f.endswith("_to_decode.ark")]
+    assert arks
+    posts = dict(read_mat_ark(os.path.join(ef, arks[0])))
+    assert all(m.shape[1] == 10 and np.isfinite(m).all() for m in posts.values())
+    # prior-normalized log-softmax: rows do NOT sum to 1 in prob space
+    # (priors subtracted), but raw magnitudes stay sane
+    assert all(np.abs(m).max() < 50 for m in posts.values())
+
+    # ledger resume: second invocation skips all done tasks quickly
+    exp2 = run_experiment(cfg)
+    assert exp2.n_epochs == 3
+
+
+def test_full_ligru_experiment_mesh(corpus, tmp_path_factory):
+    """Sequential (liGRU) path end-to-end on the 8-device CPU mesh."""
+    out = str(tmp_path_factory.mktemp("exp_ligru"))
+    cfg = write_cfg(corpus, out, arch="liGRU", hidden=16, n_epochs=1,
+                    n_chunks=1, batch_size=2, lr=0.2)
+    run_experiment(cfg, use_mesh=True)
+    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    assert len(lines) == 1
+    ef = os.path.join(out, "exp_files")
+    arks = [f for f in os.listdir(ef) if f.endswith("_to_decode.ark")]
+    posts = dict(read_mat_ark(os.path.join(ef, arks[0])))
+    # forward emits one matrix per utterance with the utterance's length
+    assert len(posts) >= 3

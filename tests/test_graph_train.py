@@ -1,0 +1,182 @@
+"""Graph compiler + train step tests: the DSL compiles to a jitted function,
+training reduces loss/err on the synthetic corpus, checkpoints round-trip,
+bucket-padded bidirectional forward matches unpadded."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpukaldi.config import load_config
+from tpukaldi.data import load_chunk, iter_frame_batches
+from tpukaldi.data.synth import generate_corpus, write_cfg
+from tpukaldi.graph import apply_graph, build_graph, init_graph
+from tpukaldi.plan import build_plan
+from tpukaldi.train import (
+    ChunkRuntime,
+    make_all_optimizers,
+    make_forward_step,
+    make_train_step,
+    read_info,
+    save_checkpoint,
+    load_checkpoint,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("gt")
+    corpus = generate_corpus(str(root / "corpus"), n_utts=10, seed=11, noise=0.4)
+    cfg = write_cfg(corpus, str(root / "exp"), arch="MLP", n_epochs=2, n_chunks=2,
+                    batch_size=64, lr=0.2)
+    exp = load_config(cfg)
+    os.makedirs(exp.out_folder, exist_ok=True)
+    ds = exp.datasets["synth_tr"]
+    chunk = load_chunk(ds, ["mfcc"], ["lab_cd"], 1000, shuffle_frames=True, seed=1)
+    return exp, chunk, corpus, root
+
+
+def test_build_and_init_graph(setup):
+    exp, chunk, *_ = setup
+    graph = build_graph(exp, chunk.fea_layout, chunk.lab_layout)
+    assert not graph.seq_model
+    assert graph.out_dims["out_dnn1"] == 10
+    batch = next(iter_frame_batches(chunk, 64))
+    params, stats = init_graph(graph, jax.random.key(0), jnp.asarray(batch.feats))
+    assert "MLP_layers1" in params
+    outs, _ = apply_graph(
+        graph, params, stats, jnp.asarray(batch.feats), jnp.asarray(batch.labs),
+        train=False,
+    )
+    assert outs["loss_final"].shape == ()
+    assert outs["err_final"].shape == ()
+    assert outs["out_dnn1"].shape == (64, 10)
+
+
+def test_training_reduces_loss(setup):
+    exp, chunk, *_ = setup
+    graph = build_graph(exp, chunk.fea_layout, chunk.lab_layout)
+    batch = next(iter_frame_batches(chunk, 64))
+    params, stats = init_graph(graph, jax.random.key(0), jnp.asarray(batch.feats))
+    optimizers = make_all_optimizers({n: exp.archs[n] for n in graph.arch_names})
+    opt_states = {n: optimizers[n].init(params[n]) for n in graph.arch_names}
+    step = make_train_step(graph, optimizers, donate=False)
+    rng = jax.random.key(0)
+    losses = []
+    for epoch in range(3):
+        for b in iter_frame_batches(chunk, 64):
+            rng, sub = jax.random.split(rng)
+            params, stats, opt_states, loss, err = step(
+                params, stats, opt_states, jnp.asarray(b.feats),
+                jnp.asarray(b.labs), sub,
+            )
+            losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, f"no learning: {losses[0]} -> {losses[-1]}"
+
+
+def test_frozen_arch_not_updated(setup):
+    exp, chunk, *_ = setup
+    graph = build_graph(exp, chunk.fea_layout, chunk.lab_layout)
+    batch = next(iter_frame_batches(chunk, 64))
+    params, stats = init_graph(graph, jax.random.key(0), jnp.asarray(batch.feats))
+    optimizers = make_all_optimizers({n: exp.archs[n] for n in graph.arch_names})
+    opt_states = {n: optimizers[n].init(params[n]) for n in graph.arch_names}
+    step = make_train_step(
+        graph, optimizers, frozen={"MLP_layers1": True}, donate=False
+    )
+    p0 = jax.device_get(params)
+    rng = jax.random.key(0)
+    params2, *_ = step(params, stats, opt_states, jnp.asarray(batch.feats),
+                       jnp.asarray(batch.labs), rng)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(jax.device_get(params2))):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    exp, chunk, *_ = setup
+    graph = build_graph(exp, chunk.fea_layout, chunk.lab_layout)
+    batch = next(iter_frame_batches(chunk, 8))
+    params, stats = init_graph(graph, jax.random.key(0), jnp.asarray(batch.feats))
+    path = str(tmp_path / "a.ckpt")
+    save_checkpoint(path, params["MLP_layers1"], None, stats["MLP_layers1"])
+    p, o, s = load_checkpoint(path, params["MLP_layers1"], None, stats["MLP_layers1"])
+    for a, b in zip(jax.tree_util.tree_leaves(params["MLP_layers1"]),
+                    jax.tree_util.tree_leaves(p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chunk_runtime_full_loop(setup):
+    """Train 2 epochs through the runtime ledger, then forward to posterior
+    arks — the minimum end-to-end slice of SURVEY.md §7.3 minus decoding."""
+    exp, _, corpus, root = setup
+    plan = build_plan(exp)
+    rt = ChunkRuntime(exp)
+    errs = []
+    for ep in plan.epochs:
+        for task in ep.tasks:
+            lr = {n: exp.archs[n].lr[ep.epoch] for n in exp.archs}
+            res = rt.run_task(
+                task, epoch_lr=lr,
+                max_seq_length=exp.batches.max_seq_length_train[ep.epoch],
+                batch_size=exp.batches.batch_size_train[ep.epoch],
+            )
+            assert os.path.exists(task.info_file)
+            if task.phase == "valid":
+                errs.append(res.err)
+    assert errs[-1] < 0.5, f"validation err did not drop: {errs}"
+    # info files parse back
+    info = read_info(plan.epochs[0].tasks[0].info_file)
+    assert "loss" in info
+
+    # forward: save final ckpts then emit posteriors
+    from tpukaldi.train import save_all
+
+    save_all(plan.final_ckpts, rt.params, rt.opt_states, rt.batch_stats)
+    for task in plan.forward_tasks:
+        res = rt.run_task(task)
+        assert res.n_batches > 0
+    # posterior ark is readable and row counts match utterance lengths
+    from tpukaldi.io import read_mat_ark
+
+    ark = plan.forward_tasks[0].info_file.replace(
+        ".info", "_out_dnn1_to_decode.ark"
+    )
+    posts = dict(read_mat_ark(ark))
+    assert len(posts) > 0
+    for key, mat in posts.items():
+        assert mat.shape[1] == 10
+        assert np.isfinite(mat).all()
+
+    # resume semantics: re-running a done task is skippable via the ledger
+    assert all(t.done for ep in plan.epochs for t in ep.tasks)
+
+
+def test_bucketed_bidir_forward_exact():
+    """Padding an utterance to a bucket must not change bidir outputs for
+    the valid frames (lengths-aware reversal)."""
+    from tpukaldi.models import liGRU
+
+    T, D, H = 37, 8, 12
+    opts = {
+        "ligru_lay": str(H), "ligru_drop": "0.0",
+        "ligru_use_laynorm_inp": "False", "ligru_use_batchnorm_inp": "False",
+        "ligru_use_laynorm": "False", "ligru_use_batchnorm": "False",
+        "ligru_bidir": "True", "ligru_act": "relu", "ligru_orthinit": "True",
+    }
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((T, 1, D)).astype(np.float32)
+    model = liGRU(options=opts, inp_dim=D)
+    v = model.init({"params": jax.random.key(0)}, jnp.asarray(x), train=False)
+    out_unpadded = model.apply(v, jnp.asarray(x), train=False)
+    T_pad = 50
+    xp = np.zeros((T_pad, 1, D), dtype=np.float32)
+    xp[:T] = x
+    out_padded = model.apply(
+        v, jnp.asarray(xp), train=False, lengths=jnp.asarray([T])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_padded)[:T], np.asarray(out_unpadded), rtol=1e-5, atol=1e-6
+    )

@@ -188,19 +188,45 @@ opt_momentum = 0.0
 opt_weight_decay = 0.0
 opt_dampening = 0.0
 opt_nesterov = False
-
+{extra_sections}
 [model]
 model_proto = proto/model.proto
-model = out_dnn1=compute({arch_name},mfcc)
-\tloss_final=cost_nll(out_dnn1,lab_cd)
-\terr_final=cost_err(out_dnn1,lab_cd)
+model = {model_lines}
 
 [forward]
-forward_out = out_dnn1
+forward_out = {forward_out}
 normalize_posteriors = True
 normalize_with_counts_from = {counts}
 save_out_file = False
 require_decoding = True
+"""
+
+# softmax classifier head used after sequential front-ends, mirroring the
+# reference's liGRU cfgs (liGRU -> MLP(softmax) -> cost_nll)
+MLP_HEAD_SECTION = """
+[architecture2]
+arch_name = MLP_softmax
+arch_proto = proto/MLP.proto
+arch_library = tpukaldi.models
+arch_class = MLP
+arch_pretrain_file = none
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = N_out_lab_cd
+dnn_drop = 0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = False
+dnn_use_laynorm = False
+dnn_act = softmax
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
 """
 
 MLP_OPTIONS = """dnn_lay = {hidden},N_out_lab_cd
@@ -240,10 +266,28 @@ def write_cfg(
         arch_options = MLP_OPTIONS.format(hidden=hidden)
         arch_class, arch_proto, seq_model, arch_name = (
             "MLP", "MLP.proto", "False", "MLP_layers1")
-    elif arch == "liGRU":
-        arch_options = LIGRU_OPTIONS.format(hidden=hidden)
+        extra_sections = ""
+        model_lines = (
+            f"out_dnn1=compute({arch_name},mfcc)\n"
+            "\tloss_final=cost_nll(out_dnn1,lab_cd)\n"
+            "\terr_final=cost_err(out_dnn1,lab_cd)"
+        )
+        forward_out = "out_dnn1"
+    elif arch in ("liGRU", "GRU", "LSTM", "RNN", "minimalGRU"):
+        prefix = arch.lower()
+        arch_options = LIGRU_OPTIONS.format(hidden=hidden).replace(
+            "ligru_", f"{prefix}_"
+        )
         arch_class, arch_proto, seq_model, arch_name = (
-            "liGRU", "liGRU.proto", "True", "liGRU_layers")
+            arch, f"{arch}.proto", "True", f"{arch}_layers")
+        extra_sections = MLP_HEAD_SECTION.format(lr=lr)
+        model_lines = (
+            f"out_dnn1=compute({arch_name},mfcc)\n"
+            "\tout_dnn2=compute(MLP_softmax,out_dnn1)\n"
+            "\tloss_final=cost_nll(out_dnn2,lab_cd)\n"
+            "\terr_final=cost_err(out_dnn2,lab_cd)"
+        )
+        forward_out = "out_dnn2"
     else:
         raise ValueError(f"unknown synth arch {arch!r}")
     cfg = MLP_CFG_TEMPLATE.format(
@@ -267,6 +311,9 @@ def write_cfg(
         seq_model=seq_model,
         arch_options=arch_options,
         fea_opts=fea_opts,
+        extra_sections=extra_sections,
+        model_lines=model_lines,
+        forward_out=forward_out,
     )
     path = os.path.join(corpus.root, f"exp_{arch}.cfg")
     with open(path, "w") as f:

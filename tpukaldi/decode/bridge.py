@@ -1,0 +1,103 @@
+"""Decoding bridge: posterior arks -> Kaldi WFST decoding -> WER/PER.
+
+The reference shells out to kaldi_decoding_scripts/decode_dnn.sh with a
+generated decoding conf (run_exp.py:534-621) and scrapes the best WER from
+the scoring output (check_res_dec.sh / best_wer.sh).  Decoding stays
+delegated to the read-only Kaldi install (the posterior ark is the parity
+contract, SURVEY.md §2.3); this bridge builds the same conf, invokes the
+script when present, and harvests WER lines natively (no perl).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import shutil
+import subprocess
+from typing import Dict, List, Optional
+
+from ..config.cfg import DecodingSpec, ExperimentConfig, LabelSpec
+
+
+def write_decoding_conf(
+    path: str,
+    decoding: DecodingSpec,
+    lab: LabelSpec,
+    out_folder: str,
+) -> str:
+    """Emit the `decoding_<...>.conf` the decode script expects
+    (reference run_exp.py:559-586: [decoding] options + alidir/data/graphdir
+    derived from the label section)."""
+    with open(path, "w") as f:
+        f.write("[decoding]\n")
+        for key, value in decoding.options.items():
+            f.write(f"{key} = {value}\n")
+        f.write(f"alidir = {os.path.abspath(lab.folder)}\n")
+        f.write(f"data = {os.path.abspath(lab.data_folder)}\n")
+        f.write(f"graphdir = {os.path.abspath(lab.graph)}\n")
+        f.write(f"out_folder = {out_folder}\n")
+    return path
+
+
+def run_decode(
+    exp: ExperimentConfig,
+    lab: LabelSpec,
+    out_name: str,
+    forward_data: str,
+    ark_files: List[str],
+    log_file: str,
+) -> Optional[str]:
+    """Invoke the Kaldi decode script over the posterior arks; returns the
+    decode output dir, or None when Kaldi isn't available (logged)."""
+    dec = exp.decoding
+    script = os.path.join(dec.script_folder, dec.script) if dec.script else ""
+    out_dec_folder = os.path.join(
+        exp.out_folder, f"decode_{forward_data}_{out_name}"
+    )
+    if not script or not os.path.isfile(script) or not shutil.which("bash"):
+        with open(log_file, "a") as f:
+            f.write(
+                f"[decode] skipped: decoding script {script!r} unavailable; "
+                f"posterior arks ready at {ark_files}\n"
+            )
+        return None
+    conf = write_decoding_conf(
+        os.path.join(
+            exp.out_folder, f"decoding_{forward_data}_{out_name}.conf"
+        ),
+        dec,
+        lab,
+        out_dec_folder,
+    )
+    cmd = [script, conf, out_dec_folder, " ".join(os.path.abspath(a) for a in ark_files)]
+    with open(log_file, "a") as f:
+        result = subprocess.run(cmd, stdout=f, stderr=f)
+    if result.returncode != 0:
+        raise RuntimeError(f"decode script failed (see {log_file})")
+    return out_dec_folder
+
+
+_WER_RE = re.compile(r"%WER\s+(\d+\.?\d*)")
+
+
+def harvest_wer(decode_dir: str) -> Optional[Dict[str, float]]:
+    """Native replacement for best_wer.sh: scan scoring outputs
+    (wer_* / score_*/ *.sys) and return the best WER over LM weights."""
+    candidates = glob.glob(os.path.join(decode_dir, "wer_*")) + glob.glob(
+        os.path.join(decode_dir, "score_*", "*.sys")
+    )
+    best = None
+    for path in candidates:
+        try:
+            with open(path, errors="ignore") as f:
+                text = f.read()
+        except OSError:
+            continue
+        for m in _WER_RE.finditer(text):
+            wer = float(m.group(1))
+            if best is None or wer < best["wer"]:
+                best = {"wer": wer, "file": path}
+    if best is None:
+        return None
+    return best

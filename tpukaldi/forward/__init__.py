@@ -1,0 +1,1 @@
+from .posteriors import PosteriorWriter  # noqa: F401

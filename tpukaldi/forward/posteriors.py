@@ -1,0 +1,59 @@
+"""Posterior emission: prior-normalized log-posterior arks for the Kaldi
+WFST decoder.
+
+Reference semantics (core.py:660-671): forward mode processes whole
+utterances at batch 1, subtracts log-priors `log(counts/sum(counts))` from
+the network's log-softmax output when `normalize_posteriors`, and writes a
+float32 matrix per utterance into `<info>_<out>_to_decode.ark`.  This file
+is the parity contract with `latgen-faster-mapped` (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config.cfg import ForwardSpec
+from ..io import kaldi_io as kio
+from ..io.feats import load_counts
+
+
+class PosteriorWriter:
+    """One ark file per forward output, named off the chunk's info file
+    (reference core.py:540-548)."""
+
+    def __init__(self, forward: ForwardSpec, info_file: str,
+                 counts_dir: Optional[str] = None):
+        self.forward = forward
+        self.files: Dict[str, object] = {}
+        self.log_priors: Dict[str, Optional[np.ndarray]] = {}
+        self.paths: Dict[str, str] = {}
+        for i, out in enumerate(forward.outs):
+            suffix = "_to_decode.ark" if forward.require_decoding[i] else ".ark"
+            path = info_file.replace(".info", f"_{out}{suffix}")
+            self.paths[out] = path
+            self.files[out] = open(path, "wb")
+            if forward.normalize_posteriors[i]:
+                counts = load_counts(forward.counts_from[i])
+                self.log_priors[out] = np.log(counts / counts.sum())
+            else:
+                self.log_priors[out] = None
+
+    def write(self, out_name: str, key: str, log_post: np.ndarray) -> None:
+        prior = self.log_priors[out_name]
+        if prior is not None:
+            log_post = log_post - prior
+        kio.write_mat(self.files[out_name], log_post.astype(np.float32), key=key)
+
+    def close(self) -> List[str]:
+        for f in self.files.values():
+            f.close()
+        return list(self.paths.values())
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -48,6 +48,23 @@ def _ref_laynorm(x, gamma, beta, eps=1e-6):
     return gamma * (x - mean) / (jnp.sqrt(var) + eps) + beta
 
 
+def _reverse_time(x, lengths):
+    """Time-reverse (T, B, D), respecting per-sequence valid lengths when
+    given (sequences padded at the END).  With lengths=None this is a plain
+    flip (the reference's `flip`, neural_networks.py:1962).  The function is
+    an involution, so it also un-reverses scan outputs.
+
+    Length-aware reversal is what makes bucket-padded forward mode exact for
+    bidirectional models: valid frames are reversed among themselves and
+    trailing padding stays in place (SURVEY.md §7.4 item 3)."""
+    if lengths is None:
+        return jnp.flip(x, axis=0)
+    T = x.shape[0]
+    t = jnp.arange(T)[:, None]
+    idx = jnp.where(t < lengths[None, :], lengths[None, :] - 1 - t, t)
+    return jnp.take_along_axis(x, idx[:, :, None], axis=0)
+
+
 class _RecurrentBase(nn.Module):
     """Shared scaffold; subclasses define PREFIX, FF_GATES, REC_GATES and
     a `step` building the per-timestep update."""
@@ -82,7 +99,7 @@ class _RecurrentBase(nn.Module):
         raise NotImplementedError
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, lengths=None):
         o = self.options
         p = self.PREFIX
         lay = int_list(o[f"{p}_lay"])
@@ -109,7 +126,7 @@ class _RecurrentBase(nn.Module):
         for i, hidden in enumerate(lay):
             T, B, D = x.shape
             if bidir:
-                x = jnp.concatenate([x, jnp.flip(x, axis=0)], axis=1)
+                x = jnp.concatenate([x, _reverse_time(x, lengths)], axis=1)
             Bp = x.shape[1]
             use_bias = not (use_ln[i] or use_bn[i])
 
@@ -179,7 +196,7 @@ class _RecurrentBase(nn.Module):
 
             if bidir:
                 h_f = h[:, : Bp // 2]
-                h_b = jnp.flip(h[:, Bp // 2 :], axis=0)
+                h_b = _reverse_time(h[:, Bp // 2 :], lengths)
                 h = jnp.concatenate([h_f, h_b], axis=2)
             x = h
             current = h.shape[-1]

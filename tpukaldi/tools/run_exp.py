@@ -1,0 +1,254 @@
+"""Experiment driver CLI — the `run_exp.py` equivalent (reference
+run_exp.py:1-621).
+
+  python -m tpukaldi.tools.run_exp cfg/exp.cfg [--section,field=value ...]
+
+Drives: config load -> plan -> (train chunk -> interleaved validation ->
+new-bob lr annealing) x epochs -> res.res -> final checkpoints -> forward
+posteriors -> Kaldi decode bridge.  Crash recovery via the `.info` ledger:
+completed tasks are skipped on restart (reference run_exp.py:253).
+
+TPU specifics vs the reference: one resident ChunkRuntime (no per-chunk
+process respawn), background chunk prefetch overlapping host IO with device
+steps, optional data-parallel mesh over all local devices.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import ConfigError, load_config
+from ..config.cfg import ExperimentConfig
+from ..plan import ChunkTask, ExperimentPlan, build_plan
+from ..train.chunk_runtime import ChunkResult, ChunkRuntime, read_info
+from ..decode.bridge import harvest_wer, run_decode
+
+
+def _log(out_folder: str, msg: str) -> None:
+    print(msg)
+    with open(os.path.join(out_folder, "log.log"), "a") as f:
+        f.write(msg + "\n")
+
+
+def _aggregate(results: List[ChunkResult]):
+    if not results:
+        return 0.0, 0.0, 0.0
+    return (
+        float(np.mean([r.loss for r in results])),
+        float(np.mean([r.err for r in results])),
+        float(np.sum([r.elapsed for r in results])),
+    )
+
+
+def _result_from_info(task: ChunkTask) -> ChunkResult:
+    info = read_info(task.info_file)
+    return ChunkResult(
+        loss=info.get("loss", 0.0),
+        err=info.get("err", 0.0),
+        elapsed=info.get("elapsed_time_chunk", 0.0),
+        n_batches=1,
+    )
+
+
+def dump_epoch_results(
+    res_file: str,
+    epoch: int,
+    n_epochs: int,
+    train_with: List[str],
+    tr_loss: float,
+    tr_err: float,
+    valid_perf: Dict[str, ChunkResult],
+    lr: Dict[str, List[float]],
+    elapsed: float,
+) -> None:
+    """Append the reference-format epoch line (utils.py:2423-2476)."""
+    width = max(len(str(n_epochs - 1)), 1)
+    parts = [
+        f"ep={epoch:0{width}d} tr={train_with} loss={tr_loss:0.3f} err={tr_err:0.3f}"
+    ]
+    for name, perf in valid_perf.items():
+        parts.append(f"valid={name} loss={perf.loss:0.3f} err={perf.err:0.3f}")
+    for arch, sched in lr.items():
+        parts.append(f"lr_{arch}={sched[epoch]}")
+    parts.append(f"time(s)={int(elapsed)}")
+    line = " ".join(parts)
+    with open(res_file, "a") as f:
+        f.write(line + "\n")
+    print(line)
+
+
+def run_experiment(
+    cfg_file: str,
+    overrides: Optional[List[str]] = None,
+    use_mesh: bool = False,
+) -> ExperimentConfig:
+    exp = load_config(cfg_file, overrides=overrides)
+    out_folder = exp.out_folder
+    os.makedirs(os.path.join(out_folder, "exp_files"), exist_ok=True)
+    # snapshot the resolved config (reference run_exp.py:122-124)
+    with open(os.path.join(out_folder, "conf.cfg"), "w") as f:
+        exp.raw.write(f)
+
+    plan = build_plan(exp)
+    mesh = None
+    if use_mesh:
+        from ..dist.mesh import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+    runtime = ChunkRuntime(exp, mesh=mesh)
+
+    res_file = os.path.join(out_folder, "res.res")
+    if not os.path.exists(res_file):
+        open(res_file, "w").close()
+
+    # lr schedules are mutable state for new-bob annealing; annealing is on
+    # iff the user gave a single-value schedule (reference run_exp.py:151-161)
+    lr: Dict[str, List[float]] = {a: list(s.lr) for a, s in exp.archs.items()}
+    auto_anneal = {
+        a: "|" not in exp.raw[s.section]["arch_lr"]
+        for a, s in exp.archs.items()
+    }
+    prev_valid_err: Optional[float] = None
+
+    # ---------------- training ----------------
+    for ep_plan in plan.epochs:
+        ep = ep_plan.epoch
+        t_ep = time.time()
+        tr_results: List[ChunkResult] = []
+        valid_perf: Dict[str, ChunkResult] = {}
+        batch_size = exp.batches.batch_size_train[ep]
+        msl = exp.batches.seq_length_for_epoch(ep)
+        _log(out_folder, f"------ Epoch {ep} / {exp.n_epochs - 1} ------")
+
+        # group: train tasks execute in order; each valid point aggregates
+        # the valid tasks that follow it in the plan
+        pending_valid: List[ChunkResult] = []
+        valid_names: List[str] = []
+
+        def flush_valid_point():
+            nonlocal prev_valid_err, pending_valid, valid_names
+            if not pending_valid:
+                return
+            by_name: Dict[str, List[ChunkResult]] = {}
+            for name, res in zip(valid_names, pending_valid):
+                by_name.setdefault(name, []).append(res)
+            for name, results in by_name.items():
+                l, e, t = _aggregate(results)
+                valid_perf[name] = ChunkResult(l, e, t, len(results))
+            err_mean = float(np.mean([v.err for v in valid_perf.values()]))
+            if prev_valid_err is not None:
+                for arch in lr:
+                    spec = exp.archs[arch]
+                    improvement = (prev_valid_err - err_mean) / max(err_mean, 1e-12)
+                    if (
+                        ep < exp.n_epochs - 1
+                        and auto_anneal[arch]
+                        and improvement < spec.improvement_threshold
+                    ):
+                        new_lr = lr[arch][ep] * spec.halving_factor
+                        for i in range(ep + 1, exp.n_epochs):
+                            lr[arch][i] = new_lr
+                        _log(
+                            out_folder,
+                            f"[new-bob] halving lr of {arch} -> {new_lr}",
+                        )
+            prev_valid_err = err_mean
+            pending_valid, valid_names = [], []
+
+        for task in ep_plan.tasks:
+            if task.done:  # ledger resume (reference run_exp.py:253)
+                res = _result_from_info(task)
+            else:
+                epoch_lr = {a: lr[a][ep] for a in lr}
+                bs = batch_size if task.phase == "train" else exp.batches.batch_size_valid
+                m = msl if task.phase == "train" else exp.batches.max_seq_length_valid
+                res = runtime.run_task(
+                    task, epoch_lr=epoch_lr, max_seq_length=m, batch_size=bs
+                )
+                if not os.path.exists(task.info_file):
+                    _log(out_folder, f"ERROR: task {task.info_file} produced no info")
+                    sys.exit(1)
+            if task.phase == "train":
+                flush_valid_point()
+                tr_results.append(res)
+            else:
+                pending_valid.append(res)
+                valid_names.append(task.dataset)
+        flush_valid_point()
+
+        tr_loss, tr_err, tr_time = _aggregate(tr_results)
+        dump_epoch_results(
+            res_file, ep, exp.n_epochs, exp.train_with, tr_loss, tr_err,
+            valid_perf, lr, time.time() - t_ep,
+        )
+
+    # final checkpoints (reference run_exp.py:412-414)
+    if plan.epochs:
+        last_train = [
+            t for t in plan.epochs[-1].tasks if t.phase == "train"
+        ][-1]
+        import shutil as _sh
+
+        for arch, final in plan.final_ckpts.items():
+            src = last_train.ckpt_files[arch]
+            if os.path.exists(src) and not os.path.exists(final):
+                _sh.copyfile(src, final)
+
+    # ---------------- forward ----------------
+    ark_files: Dict[str, List[str]] = {}
+    for task in plan.forward_tasks:
+        if task.done:
+            res = _result_from_info(task)
+        else:
+            res = runtime.run_task(task)
+        for i, out in enumerate(exp.forward.outs):
+            suffix = (
+                "_to_decode.ark" if exp.forward.require_decoding[i] else ".ark"
+            )
+            ark = task.info_file.replace(".info", f"_{out}{suffix}")
+            if os.path.exists(ark):
+                ark_files.setdefault(f"{task.dataset}|{out}", []).append(ark)
+
+    # ---------------- decode ----------------
+    log_file = os.path.join(out_folder, "log.log")
+    for key, arks in ark_files.items():
+        ds_name, out_name = key.split("|")
+        i = exp.forward.outs.index(out_name)
+        if not exp.forward.require_decoding[i]:
+            continue
+        ds = exp.datasets[ds_name]
+        if not ds.labels:
+            continue
+        lab = next(iter(ds.labels.values()))
+        dec_dir = run_decode(exp, lab, out_name, ds_name, arks, log_file)
+        if dec_dir:
+            best = harvest_wer(dec_dir)
+            if best:
+                line = f"%WER {best['wer']} [{key}] -> {best['file']}"
+                with open(res_file, "a") as f:
+                    f.write(line + "\n")
+                _log(out_folder, line)
+    return exp
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m tpukaldi.tools.run_exp <cfg> [--sec,field=value ...]")
+        return 2
+    cfg_file, overrides = argv[0], argv[1:]
+    try:
+        run_experiment(cfg_file, overrides=overrides)
+    except ConfigError as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

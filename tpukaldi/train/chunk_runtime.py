@@ -1,0 +1,241 @@
+"""Chunk runtime: process one planner task (train / valid / forward).
+
+The TPU-native counterpart of the reference's `core.run_nn` (core.py:438):
+per task it loads the chunk (optionally from a prefetch thread), runs the
+jitted step over all batches, saves per-arch checkpoints, and writes the
+`.info` ledger entry.  Unlike the reference — which re-imports, re-builds
+and re-loads everything every chunk — the runtime keeps params/optimizer
+state resident on device across chunks and only touches checkpoints at
+ledger boundaries (write every chunk; read only on cold resume).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config.cfg import ExperimentConfig
+from ..data.batching import (
+    iter_forward_utterances,
+    iter_frame_batches,
+    iter_seq_batches,
+)
+from ..data.chunk_loader import ChunkData, load_chunk
+from ..data.prefetch import ChunkPrefetcher
+from ..forward.posteriors import PosteriorWriter
+from ..graph.compiler import build_graph, init_graph
+from ..plan.planner import ChunkTask
+from . import checkpoint as ckpt
+from .optimizers import make_all_optimizers, set_lr
+from .step import make_eval_step, make_forward_step, make_train_step
+
+
+@dataclass
+class ChunkResult:
+    loss: float
+    err: float
+    elapsed: float
+    n_batches: int
+
+
+def write_info(path: str, result: Optional[ChunkResult]) -> None:
+    """Ledger entry (reference core.py:729-736)."""
+    with open(path, "w") as f:
+        f.write("[results]\n")
+        if result is not None and result.n_batches > 0:
+            f.write(f"loss={result.loss}\n")
+            f.write(f"err={result.err}\n")
+        f.write(f"elapsed_time_chunk={result.elapsed if result else 0.0:f}\n")
+
+
+def read_info(path: str) -> Dict[str, float]:
+    import configparser
+
+    cp = configparser.ConfigParser()
+    cp.read(path)
+    return {k: float(v) for k, v in cp["results"].items()}
+
+
+class ChunkRuntime:
+    """Holds the compiled graph + device state for one experiment run."""
+
+    def __init__(self, exp: ExperimentConfig, mesh=None):
+        self.exp = exp
+        self.mesh = mesh
+        # sequential iff any computed architecture is sequential
+        # (reference is_sequential_dict, utils.py:2006-2014)
+        used = {s.arg1 for s in exp.model if s.op == "compute"}
+        self.seq_model = any(exp.archs[a].seq_model for a in used)
+        self.graph = None
+        self.params = None
+        self.batch_stats = None
+        self.opt_states = None
+        self.optimizers = None
+        self._train_step = None
+        self._eval_step = None
+        self._forward_step = None
+        self.prefetcher = ChunkPrefetcher()
+        self._loaded_from: Dict[str, str] = {}
+
+    # ---------------- data ----------------
+    def load_task_chunk(self, task: ChunkTask, max_seq_length) -> ChunkData:
+        ds = self.exp.datasets[task.dataset]
+        fea_names = [n for n in ds.features]
+        lab_names = [] if self.exp.production and task.phase == "forward" else list(
+            ds.labels
+        )
+        task.write_lst_files()
+        # forward processes whole utterances (max_seq_length=-1,
+        # data_io.py:543-544)
+        msl = -1 if task.phase == "forward" else max_seq_length
+        shuffle = task.phase == "train" and not self.seq_model
+        return load_chunk(
+            ds,
+            fea_names,
+            lab_names,
+            msl,
+            fea_only=self.exp.production and task.phase == "forward",
+            shuffle_frames=shuffle,
+            seed=task.seed,
+            fea_lst_override=task.lst_files,
+        )
+
+    # ---------------- state ----------------
+    def ensure_initialized(self, chunk: ChunkData, sample_feats, sample_labs):
+        if self.graph is None:
+            self.graph = build_graph(self.exp, chunk.fea_layout, chunk.lab_layout)
+            self.params, self.batch_stats = init_graph(
+                self.graph, jax.random.key(self.exp.seed), sample_feats
+            )
+            self.optimizers = make_all_optimizers(
+                {n: self.exp.archs[n] for n in self.graph.arch_names}
+            )
+            self.opt_states = {
+                n: self.optimizers[n].init(self.params[n])
+                for n in self.graph.arch_names
+            }
+            frozen = {n: self.exp.archs[n].freeze for n in self.graph.arch_names}
+            self._train_step = make_train_step(
+                self.graph, self.optimizers, frozen, mesh=self.mesh
+            )
+            self._eval_step = make_eval_step(self.graph, mesh=self.mesh)
+            self._forward_step = make_forward_step(self.graph)
+
+    def restore_from(self, pretrain_files: Dict[str, str]) -> None:
+        """Cold-resume path: load per-arch checkpoints when they exist and
+        differ from what's already resident."""
+        to_load = {
+            a: p
+            for a, p in pretrain_files.items()
+            if p not in ("none", "") and os.path.exists(p)
+            and self._loaded_from.get(a) != p
+        }
+        if not to_load:
+            return
+        self.params, self.opt_states, self.batch_stats = ckpt.load_all(
+            to_load, self.params, self.opt_states, self.batch_stats
+        )
+        self._loaded_from.update(to_load)
+
+    def mark_saved(self, ckpt_files: Dict[str, str]) -> None:
+        self._loaded_from.update(ckpt_files)
+
+    # ---------------- phases ----------------
+    def run_task(
+        self,
+        task: ChunkTask,
+        epoch_lr: Optional[Dict[str, float]] = None,
+        max_seq_length: int = 1000,
+        batch_size: int = 8,
+        chunk: Optional[ChunkData] = None,
+    ) -> ChunkResult:
+        if chunk is None:
+            chunk = self.load_task_chunk(task, max_seq_length)
+        t0 = time.time()
+        if task.phase in ("train", "valid"):
+            result = self._run_train_valid(task, chunk, epoch_lr, batch_size)
+        else:
+            result = self._run_forward(task, chunk)
+        result.elapsed = time.time() - t0
+        write_info(task.info_file, result)
+        return result
+
+    def _batches(self, chunk: ChunkData, batch_size: int, train: bool, seed: int):
+        if self.seq_model:
+            rng = np.random.default_rng(seed) if train else None
+            return iter_seq_batches(chunk, batch_size, rng=rng)
+        return iter_frame_batches(chunk, batch_size)
+
+    def _run_train_valid(self, task, chunk, epoch_lr, batch_size) -> ChunkResult:
+        first = next(self._batches(chunk, batch_size, False, task.seed), None)
+        if first is None:
+            return ChunkResult(0.0, 0.0, 0.0, 0)
+        self.ensure_initialized(chunk, first.feats, first.labs)
+        self.restore_from(task.pretrain_files)
+        if task.phase == "train" and epoch_lr:
+            for name, lr in epoch_lr.items():
+                if name in self.opt_states:
+                    self.opt_states[name] = set_lr(self.opt_states[name], lr)
+
+        train = task.phase == "train"
+        loss_sum, err_sum, n = 0.0, 0.0, 0
+        rng = jax.random.key(task.seed)
+        for batch in self._batches(chunk, batch_size, train, task.seed):
+            feats = jax.numpy.asarray(batch.feats)
+            labs = jax.numpy.asarray(batch.labs)
+            if train:
+                rng, sub = jax.random.split(rng)
+                (self.params, self.batch_stats, self.opt_states, loss, err
+                 ) = self._train_step(
+                    self.params, self.batch_stats, self.opt_states,
+                    feats, labs, sub,
+                )
+            else:
+                loss, err = self._eval_step(
+                    self.params, self.batch_stats, feats, labs
+                )
+            loss_sum += float(loss)
+            err_sum += float(err)
+            n += 1
+        if train:
+            ckpt.save_all(
+                task.ckpt_files, self.params, self.opt_states, self.batch_stats
+            )
+            self.mark_saved(task.ckpt_files)
+        return ChunkResult(loss_sum / max(n, 1), err_sum / max(n, 1), 0.0, n)
+
+    def _run_forward(self, task, chunk) -> ChunkResult:
+        from ..data.batching import bucket_for
+
+        # lazily init from the first utterance if training was skipped
+        first = next(iter_forward_utterances(chunk), None)
+        if first is None:
+            return ChunkResult(0.0, 0.0, 0.0, 0)
+        self.ensure_initialized(chunk, jax.numpy.asarray(first.feats), None)
+        self.restore_from(task.pretrain_files)
+        n = 0
+        with PosteriorWriter(self.exp.forward, task.info_file) as writer:
+            for utt in iter_forward_utterances(chunk):
+                T = utt.feats.shape[0]
+                # pad T to a bucket so XLA compiles once per bucket, not per
+                # utterance length; exact for bidir via lengths-aware reversal
+                T_pad = bucket_for(T)
+                feats = np.zeros(
+                    (T_pad,) + utt.feats.shape[1:], dtype=utt.feats.dtype
+                )
+                feats[:T] = utt.feats
+                outs = self._forward_step(
+                    self.params,
+                    self.batch_stats,
+                    jax.numpy.asarray(feats),
+                    jax.numpy.asarray([T]),
+                )
+                for out_name, value in outs.items():
+                    writer.write(out_name, utt.names[0], np.asarray(value)[:T])
+                n += 1
+        return ChunkResult(0.0, 0.0, 0.0, n)

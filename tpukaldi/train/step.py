@@ -1,0 +1,118 @@
+"""Jitted train/eval/forward steps over the compiled graph.
+
+The reference's inner loop (core.py:614-642): forward DSL -> backward on
+loss_final -> step every unfrozen per-arch optimizer.  Here the whole step
+is one jitted function: value_and_grad over the dict of per-arch param
+trees, per-arch optax updates (frozen archs get zeroed updates so the
+compiled step is branch-free), batchnorm state threaded functionally.
+
+Data-parallel: `make_train_step(..., mesh=...)` shards the batch over the
+mesh's 'data' axis with NamedSharding constraints; gradients are averaged
+by XLA's compiler-inserted psum over ICI (SURVEY.md §2.4 rebuild note).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graph.compiler import GraphSpec, apply_graph
+
+
+def _loss_fn(params, graph, batch_stats, feats, labs, rngs):
+    outs, new_stats = apply_graph(
+        graph, params, batch_stats, feats, labs, train=True, rngs=rngs,
+        to_do="train",
+    )
+    return outs["loss_final"], (outs["err_final"], new_stats)
+
+
+def make_train_step(
+    graph: GraphSpec,
+    optimizers: Dict,
+    frozen: Optional[Dict[str, bool]] = None,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Returns jitted `step(params, batch_stats, opt_states, feats, labs,
+    rng) -> (params, batch_stats, opt_states, loss, err)`.
+
+    Sequential batches are (T, B, D): the batch axis B is sharded over the
+    mesh 'data' axis; frame batches (N, D) shard N.
+    """
+    frozen = frozen or {}
+
+    def step(params, batch_stats, opt_states, feats, labs, rng):
+        if mesh is not None:
+            batch_axis = 1 if feats.ndim == 3 else 0
+            spec = [None] * feats.ndim
+            spec[batch_axis] = "data"
+            feats = jax.lax.with_sharding_constraint(
+                feats, NamedSharding(mesh, P(*spec))
+            )
+            lspec = [None] * labs.ndim
+            lspec[batch_axis] = "data"
+            labs = jax.lax.with_sharding_constraint(
+                labs, NamedSharding(mesh, P(*lspec))
+            )
+        rngs = {"dropout": rng}
+        (loss, (err, new_stats)), grads = jax.value_and_grad(
+            _loss_fn, has_aux=True
+        )(params, graph, batch_stats, feats, labs, rngs)
+        new_params = dict(params)
+        new_opt_states = dict(opt_states)
+        for name in params:
+            if frozen.get(name, False):
+                continue
+            updates, new_opt_states[name] = optimizers[name].update(
+                grads[name], opt_states[name], params[name]
+            )
+            new_params[name] = jax.tree_util.tree_map(
+                lambda p, u: p + u, params[name], updates
+            )
+        return new_params, new_stats, new_opt_states, loss, err
+
+    donate_args = (0, 2) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+def make_eval_step(graph: GraphSpec, mesh: Optional[Mesh] = None):
+    def step(params, batch_stats, feats, labs):
+        if mesh is not None:
+            batch_axis = 1 if feats.ndim == 3 else 0
+            spec = [None] * feats.ndim
+            spec[batch_axis] = "data"
+            feats = jax.lax.with_sharding_constraint(
+                feats, NamedSharding(mesh, P(*spec))
+            )
+        outs, _ = apply_graph(
+            graph, params, batch_stats, feats, labs, train=False, to_do="valid"
+        )
+        return outs["loss_final"], outs["err_final"]
+
+    return jax.jit(step)
+
+
+def make_forward_step(graph: GraphSpec, out_names: Optional[list] = None):
+    """Posterior computation for one utterance batch: returns the requested
+    forward outputs flattened to (T*B, C).  `lengths` makes bucket-padded
+    utterances exact for bidirectional models (padding stays at the end and
+    is sliced off by the caller)."""
+    out_names = out_names or graph.forward_outs
+
+    def step(params, batch_stats, feats, lengths):
+        outs, _ = apply_graph(
+            graph, params, batch_stats, feats, None, train=False,
+            to_do="forward", lengths=lengths,
+        )
+        result = {}
+        for name in out_names:
+            o = outs[name]
+            result[name] = o.reshape(o.shape[0] * o.shape[1], -1) if o.ndim == 3 else o
+        return result
+
+    return jax.jit(step)
