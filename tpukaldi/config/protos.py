@@ -231,6 +231,22 @@ ARCH_PROTOS: Dict[str, Proto] = {
         }
     },
     "PASE.proto": {"proto": {"pase_cfg": "str", "pase_model": "path"}},
+    # the reference's DIRHA cfg names proto/fusionRNN.proto but never ships
+    # it; this builtin supplies the schema
+    "fusionRNN.proto": {
+        "proto": {
+            "fusionRNN_lay": "str_list",
+            "fusionRNN_drop": "str_list",
+            "fusionRNN_bidir": "bool",
+            "fusionRNN_act": "str_list",
+            "fusionRNN_do_fusion": "bool",
+            "fusionRNN_fusion_layer_size": "int",
+            "fusionRNN_number_of_mic": "int",
+            "fusionRNN_fusion_act": "str",
+            "fusionRNN_fusion_reduce": "str",
+            "batches": "int",
+        }
+    },
     "logMelFb.proto": {
         "proto": {
             "logmelfb_nr_filt": "int",

@@ -1,0 +1,344 @@
+"""Raw-waveform front-ends: CNN, SincNet (parametric band-pass convs),
+logMelFb, channel_averaging.
+
+Semantics follow the reference (neural_networks.py:1464-1556 CNN,
+:1559-1665 SincNet, :1668-1959 SincConv/SincConv_fast, :658-699 logMelFb,
+:702-717 channel_averaging):
+
+- CNN/SincNet consume flat (N, samples) windows (arch_seq_model=False; the
+  raw-wave chunker cuts 200 ms windows, save_raw_fea.py) and emit
+  (N, out_dim) flattened conv features;
+- conv stacks are valid 1-D convolutions + max-pool with per-layer
+  dropout / batchnorm / (filt,time)-shaped laynorm toggles;
+- SincConv synthesizes mel-initialized band-pass filters from learnable
+  (low_hz, band_hz) every forward — on TPU the synthesis is a tiny
+  elementwise op and the conv maps to the MXU via im2col/conv lowering;
+- logMelFb: STFT (hann, center=False) -> power -> HTK mel filterbank ->
+  safe log10, over (samples, B, 1) signals;
+- channel_averaging: fixed normalized channel weights, (T, B, C) -> (T, B, 1).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config.schema import to_bool
+from .common import (
+    act_fun,
+    bool_list,
+    float_list,
+    int_list,
+    make_batchnorm,
+    torch_linear_uniform,
+)
+
+
+def _conv1d(x, kernel, stride: int = 1):
+    """x (N, C, L), kernel (O, I, K) -> (N, O, L_out), valid padding."""
+    return jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+
+
+def _max_pool1d(x, pool: int):
+    """torch F.max_pool1d default: stride = kernel, floor division."""
+    if pool <= 1:
+        return x
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 1, pool),
+        window_strides=(1, 1, pool),
+        padding="VALID",
+    )
+
+
+class _CNNLayerNorm(nn.Module):
+    """Reference LayerNorm instantiated with a (filt, time) shape
+    (neural_networks.py:1510-1512): normalizes over the LAST axis, affine
+    params over the full (filt, time) map."""
+
+    n_filt: int
+    n_time: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):  # x (N, filt, time)
+        gamma = self.param("gamma", nn.initializers.ones, (self.n_filt, self.n_time))
+        beta = self.param("beta", nn.initializers.zeros, (self.n_filt, self.n_time))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        n = x.shape[-1]
+        var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
+        return gamma * (x - mean) / (jnp.sqrt(var) + self.eps) + beta
+
+
+def _to_mel(hz):
+    return 2595 * np.log10(1 + hz / 700)
+
+
+def _to_hz(mel):
+    return 700 * (10 ** (mel / 2595) - 1)
+
+
+def sinc_filters_fast(low_hz_, band_hz_, kernel_size: int, sample_rate: int,
+                      min_low_hz: float, min_band_hz: float):
+    """Synthesize band-pass filters, half-window symmetry trick
+    (SincConv_fast, neural_networks.py:1915-1949)."""
+    half = (kernel_size - 1) // 2
+    n_lin = jnp.linspace(0, (kernel_size / 2) - 1, int(kernel_size / 2))
+    window = 0.54 - 0.46 * jnp.cos(2 * math.pi * n_lin / kernel_size)
+    n_ = 2 * math.pi * jnp.arange(-half, 0.0)[None, :] / sample_rate
+
+    low = min_low_hz + jnp.abs(low_hz_)
+    high = jnp.clip(low + min_band_hz + jnp.abs(band_hz_),
+                    min_low_hz, sample_rate / 2)
+    band = (high - low)[:, 0]
+    f_low = low @ n_
+    f_high = high @ n_
+    bp_left = ((jnp.sin(f_high) - jnp.sin(f_low)) / (n_ / 2)) * window
+    bp_center = 2 * band[:, None]
+    bp_right = jnp.flip(bp_left, axis=1)
+    band_pass = jnp.concatenate([bp_left, bp_center, bp_right], axis=1)
+    band_pass = band_pass / (2 * band[:, None])
+    return band_pass  # (out_channels, kernel_size)
+
+
+def sinc_filters_slow(low_hz_, band_hz_, kernel_size: int, sample_rate: int,
+                      min_low_hz: float, min_band_hz: float):
+    """Original SincConv synthesis with normalized frequencies and max-norm
+    (neural_networks.py:1789-1803)."""
+    half = (kernel_size - 1) // 2
+    n_lin = jnp.linspace(0, kernel_size, kernel_size)
+    window = 0.54 - 0.46 * jnp.cos(2 * math.pi * n_lin / kernel_size)
+    n_ = jnp.arange(-half, half + 1.0)[None, :] / sample_rate
+
+    def stable_sinc(x):
+        x_left = x[:, :half]
+        y_left = jnp.sin(x_left) / x_left
+        y_right = jnp.flip(y_left, axis=1)
+        ones = jnp.ones((x.shape[0], 1))
+        return jnp.concatenate([y_left, ones, y_right], axis=1)
+
+    low = min_low_hz / sample_rate + jnp.abs(low_hz_)
+    high = low + min_band_hz / sample_rate + jnp.abs(band_hz_)
+    lp1 = 2 * low * stable_sinc(2 * math.pi * (low @ n_) * sample_rate)
+    lp2 = 2 * high * stable_sinc(2 * math.pi * (high @ n_) * sample_rate)
+    band_pass = lp2 - lp1
+    band_pass = band_pass / jnp.max(band_pass, axis=1, keepdims=True)
+    return band_pass * window
+
+
+class _ConvStack(nn.Module):
+    """Shared CNN/SincNet scaffold; layer 0 is a hook."""
+
+    options: Dict[str, Any]
+    inp_dim: int
+
+    PREFIX = "cnn"
+
+    @classmethod
+    def _dims(cls, options, inp_dim):
+        p = cls.PREFIX
+        n_filt = int_list(options[f"{p}_n_filt"])
+        len_filt = int_list(options[f"{p}_len_filt"])
+        pool = int_list(options[f"{p}_max_pool_len"])
+        current = inp_dim
+        for i in range(len(n_filt)):
+            # NB: uses the cfg filter length even though SincConv pads even
+            # kernels to odd — reference behavior (cfgs use odd lengths)
+            current = int((current - len_filt[i] + 1) / pool[i])
+        return n_filt, len_filt, pool, current
+
+    @classmethod
+    def compute_out_dim(cls, options, inp_dim) -> int:
+        n_filt, _, _, current = cls._dims(options, inp_dim)
+        return current * n_filt[-1]
+
+    @property
+    def out_dim(self) -> int:
+        return self.compute_out_dim(self.options, self.inp_dim)
+
+    def first_layer_conv(self, i, x, n_filt, len_filt):
+        raise NotImplementedError
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        o = self.options
+        p = self.PREFIX
+        n_filt = int_list(o[f"{p}_n_filt"])
+        len_filt = int_list(o[f"{p}_len_filt"])
+        pool = int_list(o[f"{p}_max_pool_len"])
+        acts = o[f"{p}_act"].split(",")
+        drop = float_list(o[f"{p}_drop"])
+        use_ln = bool_list(o[f"{p}_use_laynorm"])
+        use_bn = bool_list(o[f"{p}_use_batchnorm"])
+
+        N = x.shape[0]
+        x = x.reshape(N, 1, self.inp_dim)  # (N, C=1, samples)
+        current = self.inp_dim
+        for i in range(len(n_filt)):
+            if i == 0:
+                x = self.first_layer_conv(i, x, n_filt[i], len_filt[i])
+            else:
+                kernel = self.param(
+                    f"conv{i}",
+                    torch_linear_uniform(n_filt[i - 1] * len_filt[i]),
+                    (n_filt[i], n_filt[i - 1], len_filt[i]),
+                )
+                bias = self.param(
+                    f"conv{i}_b",
+                    torch_linear_uniform(n_filt[i - 1] * len_filt[i]),
+                    (n_filt[i],),
+                )
+                x = _conv1d(x, kernel) + bias[None, :, None]
+            x = _max_pool1d(x, pool[i])
+            time = int((current - len_filt[i] + 1) / pool[i])
+            if use_ln[i]:
+                x = _CNNLayerNorm(n_filt[i], time, name=f"ln{i}")(x)
+            if use_bn[i]:
+                # torch BatchNorm1d on (N, C, L): per-channel stats over N, L
+                xt = x.transpose(0, 2, 1).reshape(-1, n_filt[i])
+                xt = make_batchnorm(not train, name=f"bn{i}")(xt)
+                x = xt.reshape(N, time, n_filt[i]).transpose(0, 2, 1)
+            x = act_fun(acts[i])(x)
+            x = nn.Dropout(rate=drop[i], deterministic=not train)(x)
+            current = time
+        return x.reshape(N, -1)
+
+
+class CNN(_ConvStack):
+    """Plain conv stack over raw samples (neural_networks.py:1464)."""
+
+    PREFIX = "cnn"
+
+    def first_layer_conv(self, i, x, n_filt, len_filt):
+        kernel = self.param(
+            f"conv{i}", torch_linear_uniform(len_filt), (n_filt, 1, len_filt)
+        )
+        bias = self.param(
+            f"conv{i}_b", torch_linear_uniform(len_filt), (n_filt,)
+        )
+        return _conv1d(x, kernel) + bias[None, :, None]
+
+
+class SincNet(_ConvStack):
+    """Conv stack whose first layer is a SincConv (neural_networks.py:1559).
+    `sinc_fast=True` (default) uses the half-window symmetry synthesis."""
+
+    PREFIX = "sinc"
+
+    def first_layer_conv(self, i, x, n_filt, len_filt):
+        o = self.options
+        sample_rate = int(o.get("sinc_sample_rate", 16000))
+        min_low_hz = int(o.get("sinc_min_low_hz", 50))
+        min_band_hz = int(o.get("sinc_min_band_hz", 50))
+        fast = to_bool(o.get("sinc_fast", "True"))
+        kernel_size = len_filt + 1 if len_filt % 2 == 0 else len_filt
+
+        low_hz = 30
+        high_hz = sample_rate / 2 - (min_low_hz + min_band_hz)
+        mel = np.linspace(_to_mel(low_hz), _to_mel(high_hz), n_filt + 1)
+        hz = _to_hz(mel)
+        if not fast:
+            hz = hz / sample_rate
+
+        low_hz_ = self.param(
+            "low_hz", lambda key, shape: jnp.asarray(hz[:-1])[:, None], (n_filt, 1)
+        )
+        band_hz_ = self.param(
+            "band_hz", lambda key, shape: jnp.asarray(np.diff(hz))[:, None],
+            (n_filt, 1),
+        )
+        synth = sinc_filters_fast if fast else sinc_filters_slow
+        filters = synth(
+            low_hz_, band_hz_, kernel_size, sample_rate, min_low_hz, min_band_hz
+        )
+        return _conv1d(x, filters[:, None, :].astype(x.dtype))
+
+
+class logMelFb(nn.Module):
+    """On-the-fly log-mel front-end (neural_networks.py:658-699):
+    (samples, B, 1) -> (frames, B, n_mels)."""
+
+    options: Dict[str, Any]
+    inp_dim: int
+
+    @staticmethod
+    def compute_out_dim(options, inp_dim) -> int:
+        return int(options["logmelfb_nr_filt"])
+
+    @property
+    def out_dim(self) -> int:
+        return self.compute_out_dim(self.options, self.inp_dim)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, lengths=None):
+        o = self.options
+        sample_rate = int(o.get("logmelfb_nr_sample_rate", 16000))
+        n_mels = int(o["logmelfb_nr_filt"])
+        win = int(o["logmelfb_stft_window_size"])
+        hop = int(o["logmelfb_stft_window_shift"])
+        assert x.shape[-1] == 1, "multi-channel signals not supported"
+        signal = x[..., 0].T  # (B, samples)
+        B, L = signal.shape
+        n_frames = 1 + (L - win) // hop
+        # frame (center=False) and window (hann, periodic like torch.stft)
+        idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(win)[None, :]
+        frames = signal[:, idx]  # (B, frames, win)
+        window = 0.5 - 0.5 * jnp.cos(2 * math.pi * jnp.arange(win) / win)
+        spec = jnp.fft.rfft(frames * window, n=win, axis=-1)
+        power = jnp.abs(spec) ** 2  # (B, frames, win//2+1)
+        fb = jnp.asarray(
+            _mel_filterbank(sample_rate, win, n_mels), dtype=power.dtype
+        )
+        mel = power @ fb  # (B, frames, n_mels)
+        log_mel = jnp.log10(jnp.maximum(mel, 1e-20))
+        return log_mel.transpose(1, 0, 2)  # (frames, B, n_mels)
+
+
+def _mel_filterbank(sample_rate: int, n_fft: int, n_mels: int) -> np.ndarray:
+    """Triangular HTK-scale mel filterbank, (n_fft//2+1, n_mels)."""
+    n_freqs = n_fft // 2 + 1
+    freqs = np.linspace(0, sample_rate / 2, n_freqs)
+    mel_pts = np.linspace(_to_mel(0.0), _to_mel(sample_rate / 2), n_mels + 2)
+    hz_pts = _to_hz(mel_pts)
+    fb = np.zeros((n_freqs, n_mels))
+    for m in range(n_mels):
+        lo, ce, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (freqs - lo) / max(ce - lo, 1e-10)
+        down = (hi - freqs) / max(hi - ce, 1e-10)
+        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+class channel_averaging(nn.Module):
+    """Fixed-weight multi-microphone average (neural_networks.py:702-717)."""
+
+    options: Dict[str, Any]
+    inp_dim: int
+
+    @staticmethod
+    def compute_out_dim(options, inp_dim) -> int:
+        return 1
+
+    @property
+    def out_dim(self) -> int:
+        return 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, lengths=None):
+        weights = np.array(
+            [float(v) for v in self.options["chavg_channelweights"].split(",")],
+            dtype=np.float32,
+        )
+        weights = weights / weights.sum()
+        assert x.shape[-1] == len(weights)
+        return jnp.einsum("tbc,c->tb", x, jnp.asarray(weights))[..., None]
