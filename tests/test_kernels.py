@@ -1,0 +1,117 @@
+"""Pallas Li-GRU kernel tests (interpret mode on CPU): forward parity vs
+the pure-scan reference, custom-VJP gradients vs autodiff, and the model
+integration path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpukaldi.kernels.ligru import (
+    ligru_recurrence,
+    ligru_recurrence_scan,
+)
+
+T, B, H = 21, 4, 8  # T deliberately not a multiple of TIME_BLOCK
+
+
+def _inputs(seed=0, mask_p=0.0):
+    rng = np.random.default_rng(seed)
+    ff = jnp.asarray(rng.standard_normal((T, B, 2 * H)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((H, 2 * H)) * 0.3, jnp.float32)
+    if mask_p > 0:
+        mask = jnp.asarray(
+            rng.random((B, H)) > mask_p, jnp.float32
+        )
+    else:
+        mask = jnp.ones((B, H), jnp.float32)
+    return ff, u, mask
+
+
+def test_forward_parity():
+    ff, u, mask = _inputs(0)
+    h_scan = ligru_recurrence_scan(ff, u, mask)
+    h_pallas = ligru_recurrence(ff, u, mask, True)  # interpret mode
+    np.testing.assert_allclose(
+        np.asarray(h_pallas), np.asarray(h_scan), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_forward_parity_with_dropout_mask():
+    ff, u, mask = _inputs(1, mask_p=0.3)
+    h_scan = ligru_recurrence_scan(ff, u, mask)
+    h_pallas = ligru_recurrence(ff, u, mask, True)
+    np.testing.assert_allclose(
+        np.asarray(h_pallas), np.asarray(h_scan), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_custom_vjp_matches_autodiff():
+    ff, u, mask = _inputs(2, mask_p=0.2)
+
+    def loss_pallas(ff, u, mask):
+        h = ligru_recurrence(ff, u, mask, True)
+        return jnp.sum(jnp.sin(h))
+
+    def loss_scan(ff, u, mask):
+        h = ligru_recurrence_scan(ff, u, mask)
+        return jnp.sum(jnp.sin(h))
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(ff, u, mask)
+    g2 = jax.grad(loss_scan, argnums=(0, 1, 2))(ff, u, mask)
+    for a, b, name in zip(g1, g2, ("dff", "du", "dmask")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=name
+        )
+
+
+def test_model_pallas_impl_matches_scan():
+    from tpukaldi.models import liGRU
+
+    base_opts = {
+        "ligru_lay": "8", "ligru_drop": "0.0",
+        "ligru_use_laynorm_inp": "False", "ligru_use_batchnorm_inp": "False",
+        "ligru_use_laynorm": "False", "ligru_use_batchnorm": "False",
+        "ligru_bidir": "True", "ligru_act": "relu", "ligru_orthinit": "True",
+    }
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((T, B, 6)), jnp.float32)
+    m_scan = liGRU(options={**base_opts, "ligru_impl": "scan"}, inp_dim=6)
+    v = m_scan.init({"params": jax.random.key(0)}, x, train=False)
+    out_scan = m_scan.apply(v, x, train=False)
+    m_pallas = liGRU(options={**base_opts, "ligru_impl": "pallas"}, inp_dim=6)
+    out_pallas = m_pallas.apply(v, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_scan), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_model_pallas_impl_gradients():
+    from tpukaldi.models import liGRU
+
+    opts = {
+        "ligru_lay": "8", "ligru_drop": "0.0",
+        "ligru_use_laynorm_inp": "False", "ligru_use_batchnorm_inp": "False",
+        "ligru_use_laynorm": "False", "ligru_use_batchnorm": "True",
+        "ligru_bidir": "False", "ligru_act": "relu", "ligru_orthinit": "True",
+        "ligru_impl": "pallas",
+    }
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((T, B, 6)), jnp.float32)
+    model = liGRU(options=opts, inp_dim=6)
+    v = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x,
+        train=True,
+    )
+
+    def loss(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, rngs={"dropout": jax.random.key(2)},
+            mutable=["batch_stats"],
+        )
+        return jnp.mean(out**2)
+
+    g = jax.grad(loss)(v["params"])
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0

@@ -383,7 +383,10 @@ def _parse_arch(config, section: str, n_epochs: int) -> ArchSpec:
         if key.endswith("_drop"):
             drop_field = key
     missing = [
-        k for k in arch_proto if k.lower() not in {kk.lower() for kk in sec.keys()}
+        k
+        for k in arch_proto
+        if k.lower() not in {kk.lower() for kk in sec.keys()}
+        and k not in protos.OPTIONAL_FIELDS
     ]
     if missing:
         raise ConfigError(f"section [{section}] missing arch fields {missing}")

@@ -257,6 +257,10 @@ ARCH_PROTOS: Dict[str, Proto] = {
     "channelAvg.proto": {"proto": {"chAvg_channelWeights": "str"}},
 }
 
+# extension fields beyond the reference schema; never required in cfgs
+OPTIONAL_FIELDS = {"ligru_impl"}
+ARCH_PROTOS["liGRU.proto"]["proto"]["ligru_impl"] = "{auto,pallas,scan}"
+
 OPT_PROTOS: Dict[str, Proto] = {
     "sgd.proto": {
         "proto": {

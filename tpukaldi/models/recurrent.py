@@ -98,6 +98,11 @@ class _RecurrentBase(nn.Module):
     def step(self, state, ff_t, rec, extras, act, drop_mask):
         raise NotImplementedError
 
+    def maybe_fused(self, i, ff, u, extras, act_name, use_ln, drop_mask, train):
+        """Hook: return the full (T, B, H) hidden sequence from a fused
+        (Pallas) recurrence kernel, or None to use the generic scan."""
+        return None
+
     @nn.compact
     def __call__(self, x, train: bool = False, lengths=None):
         o = self.options
@@ -169,6 +174,19 @@ class _RecurrentBase(nn.Module):
 
             extras = self.extra_params(i, hidden, orthinit)
             drop_mask = recurrent_drop_mask(self, train, (Bp, hidden), drop[i])
+
+            h = self.maybe_fused(
+                i, ff, u, extras, acts[i], use_ln[i], drop_mask, train
+            )
+            if h is not None:
+                if bidir:
+                    h_f = h[:, : Bp // 2]
+                    h_b = _reverse_time(h[:, Bp // 2 :], lengths)
+                    h = jnp.concatenate([h_f, h_b], axis=2)
+                x = h
+                current = h.shape[-1]
+                continue
+
             act = act_fun(acts[i])
             if use_ln[i]:
                 ln_gamma = self.param(f"ln{i}_gamma", nn.initializers.ones, (hidden,))
@@ -218,6 +236,21 @@ class liGRU(_RecurrentBase):
     PREFIX = "ligru"
     FF_GATES = ("h", "z")
     REC_GATES = ("h", "z")
+
+    def maybe_fused(self, i, ff, u, extras, act_name, use_ln, drop_mask, train):
+        """Route the relu/no-laynorm case through the fused Pallas kernel
+        (tpukaldi.kernels.ligru).  `ligru_impl` option: auto (pallas on TPU,
+        scan elsewhere) | pallas (forced; interpret-mode off-TPU) | scan."""
+        impl = self.options.get("ligru_impl", "auto")
+        if impl == "scan" or act_name != "relu" or use_ln:
+            return None
+        on_tpu = jax.default_backend() == "tpu"
+        if impl == "auto" and not on_tpu:
+            return None
+        from ..kernels.ligru import ligru_recurrence
+
+        mask = jnp.broadcast_to(drop_mask, (ff.shape[1], ff.shape[2] // 2))
+        return ligru_recurrence(ff, u, mask, not on_tpu)
 
     def step(self, h, ff_t, rec, extras, act, drop_mask):
         hidden = h.shape[-1]
