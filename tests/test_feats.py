@@ -33,8 +33,8 @@ def test_chunk_cmvn():
     rng = np.random.default_rng(2)
     x = rng.standard_normal((1000, 13)) * 3.0 + 5.0
     y = F.chunk_cmvn(x)
-    np.testing.assert_allclose(y.mean(axis=0), 0.0, atol=1e-10)
-    np.testing.assert_allclose(y.std(axis=0), 1.0, atol=1e-10)
+    np.testing.assert_allclose(y.mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(y.std(axis=0), 1.0, atol=1e-5)
 
 
 def test_apply_cmvn_roundtrip():
@@ -60,9 +60,9 @@ def test_add_deltas_shapes_and_linear_ramp():
     out = F.add_deltas(feats, order=2, window=2)
     assert out.shape == (n, 3 * d)
     # slope of a unit ramp is 1 away from the clamped edges
-    np.testing.assert_allclose(out[5:-5, d : 2 * d], 1.0, atol=1e-12)
+    np.testing.assert_allclose(out[5:-5, d : 2 * d], 1.0, atol=1e-5)
     # second derivative of a ramp is 0 away from edges
-    np.testing.assert_allclose(out[5:-5, 2 * d :], 0.0, atol=1e-12)
+    np.testing.assert_allclose(out[5:-5, 2 * d :], 0.0, atol=1e-5)
 
 
 def test_counts_roundtrip(tmp_path):

@@ -20,9 +20,17 @@ def splice(feats: np.ndarray, left: int, right: int) -> np.ndarray:
     Matches data_io.py:228-241: each lag column is a circular np.roll of the
     whole (possibly multi-utterance) block, then `left` head rows and `right`
     tail rows are dropped.  Column order is [-left .. +right] lags.
+
+    Uses the native C++ op when available (one pass, no per-lag full-matrix
+    copies); numpy fallback otherwise.
     """
     if left == 0 and right == 0:
         return feats
+    from .. import native
+
+    fast = native.splice(feats, left, right)
+    if fast is not None:
+        return fast
     n, d = feats.shape
     out = np.empty((n, d * (left + right + 1)), dtype=feats.dtype)
     for idx, lag in enumerate(range(-left, right + 1)):
@@ -31,7 +39,13 @@ def splice(feats: np.ndarray, left: int, right: int) -> np.ndarray:
 
 
 def chunk_cmvn(feats: np.ndarray) -> np.ndarray:
-    """Per-chunk mean/std normalization over axis 0 (data_io.py:263)."""
+    """Per-chunk mean/std normalization over axis 0 (data_io.py:263).
+    Native single-pass (double accumulators) when available."""
+    from .. import native
+
+    fast = native.chunk_cmvn(feats)
+    if fast is not None:
+        return fast
     return (feats - np.mean(feats, axis=0)) / np.std(feats, axis=0)
 
 
@@ -52,6 +66,11 @@ def apply_cmvn(
     Same arithmetic as the Kaldi binary invoked via cfg `fea_opts`
     (e.g. cfg/TIMIT_baselines/TIMIT_MLP_mfcc_basic.cfg fea_opts line).
     """
+    from .. import native
+
+    fast = native.apply_cmvn(feats, stats, norm_vars)
+    if fast is not None:
+        return fast.astype(feats.dtype)
     dim = feats.shape[1]
     count = stats[0, dim]
     mean = stats[0, :dim] / count
@@ -95,6 +114,11 @@ def add_deltas(feats: np.ndarray, order: int = 2, window: int = 2) -> np.ndarray
     (edge frames clamped, default --delta-order=2 --delta-window=2)."""
     n = feats.shape[0]
     scales = _delta_scales(order, window)
+    from .. import native
+
+    fast = native.add_deltas(feats, scales, order)
+    if fast is not None:
+        return fast.astype(feats.dtype)
     blocks = []
     for coeffs in scales:
         offset = (len(coeffs) - 1) // 2

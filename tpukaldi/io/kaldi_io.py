@@ -122,6 +122,11 @@ def _read_compressed_mat(fd: BinaryIO, fmt: str) -> np.ndarray:
     if fmt == "CM":
         headers = np.frombuffer(fd.read(8 * cols), dtype="<u2").reshape(cols, 4)
         data = np.frombuffer(fd.read(rows * cols), dtype=np.uint8).reshape(cols, rows)
+        from .. import native
+
+        fast = native.decode_cm1(headers, data, min_value, rng, rows, cols)
+        if fast is not None:
+            return fast
         p0, p25, p75, p100 = (u16_to_f32(headers[:, i])[:, None] for i in range(4))
         c = data.astype(np.float64)
         lo = p0 + (p25 - p0) * (c * (1.0 / 64.0))
