@@ -94,6 +94,14 @@ def run_experiment(
     with open(os.path.join(out_folder, "conf.cfg"), "w") as f:
         exp.raw.write(f)
 
+    # model diagram (reference renders model.svg at startup, utils.py:1703)
+    try:
+        from .diagram import create_block_diagram
+
+        create_block_diagram(exp, os.path.join(out_folder, "model.svg"))
+    except Exception as e:  # diagram failure must never block training
+        _log(out_folder, f"[diagram] skipped: {e}")
+
     plan = build_plan(exp)
     mesh = None
     if use_mesh:
@@ -186,6 +194,16 @@ def run_experiment(
             res_file, ep, exp.n_epochs, exp.train_with, tr_loss, tr_err,
             valid_perf, lr, time.time() - t_ep,
         )
+
+    # training curves (reference utils.py:2495-2614)
+    if plan.epochs:
+        try:
+            from .metrics import create_curves, export_txt
+
+            export_txt(res_file, out_folder)
+            create_curves(res_file, out_folder)
+        except Exception as e:
+            _log(out_folder, f"[curves] skipped: {e}")
 
     # final checkpoints (reference run_exp.py:412-414)
     if plan.epochs:
