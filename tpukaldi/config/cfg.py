@@ -273,14 +273,24 @@ def apply_overrides(config: configparser.ConfigParser, args: List[str]) -> None:
 
 
 def _n_out_from_hmm_info(folder: str, what: str) -> Optional[int]:
-    """Query Kaldi `hmm-info` if available (reference: utils.py:613-722)."""
+    """pdf/phone counts from final.mdl: native parser first
+    (tpukaldi.io.transition_model), Kaldi `hmm-info` subprocess fallback
+    (reference: utils.py:613-722)."""
     mdl = os.path.join(folder, "final.mdl")
-    if not shutil.which("hmm-info") or not os.path.isfile(mdl):
+    if not os.path.isfile(mdl):
+        return None
+    key = "number of pdfs" if what == "cd" else "number of phones"
+    try:
+        from ..io.transition_model import hmm_info
+
+        return hmm_info(mdl)[key]
+    except Exception:
+        pass
+    if not shutil.which("hmm-info"):
         return None
     out = subprocess.run(["hmm-info", mdl], capture_output=True, text=True)
     if out.returncode != 0:
         return None
-    key = "number of pdfs" if what == "cd" else "number of phones"
     for line in out.stdout.splitlines():
         if key in line:
             return int(line.split()[-1])

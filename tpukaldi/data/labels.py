@@ -42,6 +42,18 @@ def read_label_stream(folder: str, opts: str) -> Dict[str, np.ndarray]:
     raise FileNotFoundError(f"label source {folder!r} does not exist")
 
 
+def _read_ali_archives(ali_files) -> Dict[str, np.ndarray]:
+    """gunzip + concatenate alignment archives of transition-ids."""
+    import gzip
+    import io as _io
+
+    out: Dict[str, np.ndarray] = {}
+    for path in ali_files:
+        with gzip.open(path, "rb") as f:
+            out.update(kio.read_vec_int_ark(_io.BytesIO(f.read())))
+    return out
+
+
 def _labels_via_kaldi(folder: str, opts: str) -> Dict[str, np.ndarray]:
     ali_files = sorted(glob.glob(os.path.join(folder, "ali*.gz")))
     mdl = os.path.join(folder, "final.mdl")
@@ -50,6 +62,19 @@ def _labels_via_kaldi(folder: str, opts: str) -> Dict[str, np.ndarray]:
         raise FileNotFoundError(
             f"no pre-dumped label ark and no ali*.gz/final.mdl in {folder!r}"
         )
+    # native path: parse final.mdl and map transition-ids in-process
+    if cmd in ("ali-to-pdf", "ali-to-phones"):
+        try:
+            from ..io.transition_model import read_transition_model
+
+            tm = read_transition_model(mdl)
+            alis = _read_ali_archives(ali_files)
+            if cmd == "ali-to-pdf":
+                return {k: tm.transition_ids_to_pdfs(v) for k, v in alis.items()}
+            return {k: tm.transition_ids_to_phones(v) for k, v in alis.items()}
+        except Exception:
+            if not shutil.which(cmd):
+                raise
     if not shutil.which(cmd):
         raise RuntimeError(
             f"label folder {folder!r} needs Kaldi {cmd!r} which is not on PATH; "
