@@ -430,7 +430,11 @@ def load_config(
     cfg_file: str,
     overrides: Optional[List[str]] = None,
     strict_paths: bool = True,
+    resolve_nout: bool = True,
 ) -> ExperimentConfig:
+    """`strict_paths=False` / `resolve_nout=False` allow validating template
+    cfgs whose data paths aren't materialized (e.g. the shipped cfg/
+    examples)."""
     config = read_ini(cfg_file)
     if overrides:
         apply_overrides(config, overrides)
@@ -490,7 +494,8 @@ def load_config(
     all_labels: Dict[str, LabelSpec] = {}
     for ds in datasets.values():
         all_labels.update(ds.labels)
-    substitute_n_out(config, all_labels)
+    if resolve_nout:
+        substitute_n_out(config, all_labels)
 
     # --- batches (with scheduler syntax)
     b = config["batches"]

@@ -87,6 +87,28 @@ def run_experiment(
     overrides: Optional[List[str]] = None,
     use_mesh: bool = False,
 ) -> ExperimentConfig:
+    # profiling (SURVEY.md §5.1 rebuild note): set TPUKALDI_PROFILE_DIR to
+    # capture a jax profiler trace of the whole run (view with tensorboard
+    # or xprof); per-chunk frames/sec always lands in the .info ledger
+    profile_dir = os.environ.get("TPUKALDI_PROFILE_DIR")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+    try:
+        return _run_experiment(cfg_file, overrides, use_mesh)
+    finally:
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+
+
+def _run_experiment(
+    cfg_file: str,
+    overrides: Optional[List[str]] = None,
+    use_mesh: bool = False,
+) -> ExperimentConfig:
     exp = load_config(cfg_file, overrides=overrides)
     out_folder = exp.out_folder
     os.makedirs(os.path.join(out_folder, "exp_files"), exist_ok=True)

@@ -41,6 +41,11 @@ class ChunkResult:
     err: float
     elapsed: float
     n_batches: int
+    frames: int = 0  # device-processed frames (incl. padding)
+
+    @property
+    def frames_per_sec(self) -> float:
+        return self.frames / self.elapsed if self.elapsed > 0 else 0.0
 
 
 def write_info(path: str, result: Optional[ChunkResult]) -> None:
@@ -51,6 +56,10 @@ def write_info(path: str, result: Optional[ChunkResult]) -> None:
             f.write(f"loss={result.loss}\n")
             f.write(f"err={result.err}\n")
         f.write(f"elapsed_time_chunk={result.elapsed if result else 0.0:f}\n")
+        if result is not None and result.frames:
+            # frames/sec/chip is the north-star perf metric (SURVEY.md §5.1)
+            f.write(f"frames={result.frames}\n")
+            f.write(f"frames_per_sec={result.frames_per_sec:.1f}\n")
 
 
 def read_info(path: str) -> Dict[str, float]:
@@ -183,11 +192,16 @@ class ChunkRuntime:
                     self.opt_states[name] = set_lr(self.opt_states[name], lr)
 
         train = task.phase == "train"
-        loss_sum, err_sum, n = 0.0, 0.0, 0
+        loss_sum, err_sum, n, frames = 0.0, 0.0, 0, 0
         rng = jax.random.key(task.seed)
         for batch in self._batches(chunk, batch_size, train, task.seed):
             feats = jax.numpy.asarray(batch.feats)
             labs = jax.numpy.asarray(batch.labs)
+            frames += (
+                feats.shape[0] * feats.shape[1]
+                if feats.ndim == 3
+                else feats.shape[0]
+            )
             if train:
                 rng, sub = jax.random.split(rng)
                 (self.params, self.batch_stats, self.opt_states, loss, err
@@ -207,7 +221,9 @@ class ChunkRuntime:
                 task.ckpt_files, self.params, self.opt_states, self.batch_stats
             )
             self.mark_saved(task.ckpt_files)
-        return ChunkResult(loss_sum / max(n, 1), err_sum / max(n, 1), 0.0, n)
+        return ChunkResult(
+            loss_sum / max(n, 1), err_sum / max(n, 1), 0.0, n, frames
+        )
 
     def _run_forward(self, task, chunk) -> ChunkResult:
         from ..data.batching import bucket_for
@@ -218,7 +234,7 @@ class ChunkRuntime:
             return ChunkResult(0.0, 0.0, 0.0, 0)
         self.ensure_initialized(chunk, jax.numpy.asarray(first.feats), None)
         self.restore_from(task.pretrain_files)
-        n = 0
+        n, frames = 0, 0
         with PosteriorWriter(self.exp.forward, task.info_file) as writer:
             for utt in iter_forward_utterances(chunk):
                 T = utt.feats.shape[0]
@@ -238,4 +254,5 @@ class ChunkRuntime:
                 for out_name, value in outs.items():
                     writer.write(out_name, utt.names[0], np.asarray(value)[:T])
                 n += 1
-        return ChunkResult(0.0, 0.0, 0.0, n)
+                frames += T_pad
+        return ChunkResult(0.0, 0.0, 0.0, n, frames)
