@@ -32,17 +32,28 @@ def exp(corpus, tmp_path_factory):
 
 
 def test_split_sentence_min_tail_rule():
+    from tpukaldi.data.chunk_loader import _chunk_config
+
+    cc = _chunk_config(500)
     fea = np.arange(625)[:, None].astype(float)
     lab = np.arange(625)
     # len 625 > 500 + 125 threshold boundary: reference splits at >625
-    pieces = _split_sentence(fea, lab, 500)
+    pieces = _split_sentence(fea, lab, cc)
     assert [len(p[0]) for p in pieces] == [625]  # 625 <= 625 stays whole
-    pieces = _split_sentence(np.arange(626)[:, None].astype(float), np.arange(626), 500)
+    pieces = _split_sentence(np.arange(626)[:, None].astype(float), np.arange(626), cc)
     assert [len(p[0]) for p in pieces] == [500, 126]
-    pieces = _split_sentence(np.arange(1300)[:, None].astype(float), np.arange(1300), 500)
+    pieces = _split_sentence(np.arange(1300)[:, None].astype(float), np.arange(1300), cc)
     assert [len(p[0]) for p in pieces] == [500, 500, 300]
     # labels stay aligned
     np.testing.assert_array_equal(pieces[1][1], np.arange(500, 1000))
+    # different fea/lab rates: 10 samples per label frame
+    cc2 = _chunk_config([1000, 1000, 100, 100, 10, 10])
+    fea = np.arange(2500)[:, None].astype(float)
+    lab = np.arange(250)
+    pieces = _split_sentence(fea, lab, cc2)
+    assert [len(p[0]) for p in pieces] == [1000, 1000, 500]
+    assert [len(p[1]) for p in pieces] == [100, 100, 50]
+    np.testing.assert_array_equal(pieces[1][1], np.arange(100, 200))
 
 
 def test_load_chunk_structure(exp):

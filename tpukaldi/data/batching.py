@@ -69,6 +69,9 @@ def iter_seq_batches(
     """
     lengths = chunk.sentence_lengths
     starts = np.concatenate([[0], chunk.end_index[:-1]])
+    lab_lengths = chunk.lab_sentence_lengths
+    lab_starts = np.concatenate([[0], chunk.lab_end_index[:-1]])
+    rates_differ = chunk.rates_differ
     n_batches = chunk.n_sentences // batch_size
     L = chunk.labs.shape[1]
     for i in range(n_batches):
@@ -76,17 +79,38 @@ def iter_seq_batches(
         batch_lens = lengths[sl]
         batch_starts = starts[sl]
         max_len = int(batch_lens.max())
-        T = bucket_for(max_len, buckets) if pad_to_bucket else max_len
+        if rates_differ:
+            # keep the STFT frame relation: T_fea = (T_lab-1)*shift + window
+            # so the front-end's output frames align with the label axis
+            max_lab = int(lab_lengths[sl].max()) if L else 0
+            T_lab = bucket_for(max_lab, buckets) if pad_to_bucket else max_lab
+            T = (T_lab - 1) * chunk.window_shift + chunk.window_size
+        else:
+            T = bucket_for(max_len, buckets) if pad_to_bucket else max_len
+            T_lab = T
         feats = np.zeros((T, batch_size, chunk.feats.shape[1]), dtype=np.float32)
-        labs = np.zeros((T, batch_size, L), dtype=np.int64)
+        labs = np.zeros((T_lab, batch_size, L), dtype=np.int64)
         for k in range(batch_size):
             ln = int(batch_lens[k])
             n_zeros = T - ln
-            off = int(rng.integers(0, n_zeros + 1)) if rng is not None else 0
+            # random-left-zero regularization is incompatible with separate
+            # label time axes (alignment would break)
+            off = (
+                int(rng.integers(0, n_zeros + 1))
+                if rng is not None and not rates_differ
+                else 0
+            )
             row = slice(int(batch_starts[k]), int(batch_starts[k]) + ln)
             feats[off : off + ln, k, :] = chunk.feats[row]
             if L:
-                labs[off : off + ln, k, :] = chunk.labs[row]
+                lln = int(lab_lengths[sl][k]) if rates_differ else ln
+                lrow = slice(
+                    int(lab_starts[sl][k] if rates_differ else batch_starts[k]),
+                    int(lab_starts[sl][k] if rates_differ else batch_starts[k])
+                    + lln,
+                )
+                loff = 0 if rates_differ else off
+                labs[loff : loff + lln, k, :] = chunk.labs[lrow]
         yield SeqBatch(
             feats=feats,
             labs=labs,
@@ -98,14 +122,15 @@ def iter_seq_batches(
 def iter_forward_utterances(chunk: ChunkData) -> Iterator[SeqBatch]:
     """Forward mode: whole utterances one at a time (core.py:605-608)."""
     starts = np.concatenate([[0], chunk.end_index[:-1]])
+    lab_starts = np.concatenate([[0], chunk.lab_end_index[:-1]])
     for i, name in enumerate(chunk.names):
         row = slice(int(starts[i]), int(chunk.end_index[i]))
         feats = chunk.feats[row][:, None, :]
-        labs = (
-            chunk.labs[row][:, None, :]
-            if chunk.labs.size
-            else np.zeros((feats.shape[0], 1, 0), dtype=np.int64)
-        )
+        if chunk.labs.size:
+            lrow = slice(int(lab_starts[i]), int(chunk.lab_end_index[i]))
+            labs = chunk.labs[lrow][:, None, :]
+        else:
+            labs = np.zeros((feats.shape[0], 1, 0), dtype=np.int64)
         yield SeqBatch(
             feats=feats,
             labs=labs,

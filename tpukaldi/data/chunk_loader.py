@@ -33,15 +33,32 @@ from .labels import read_label_stream
 
 @dataclass
 class ChunkData:
-    """One loaded chunk, ready for batching."""
+    """One loaded chunk, ready for batching.
+
+    `lab_end_index` differs from `end_index` only on the raw-waveform path
+    where features are samples and labels are 10 ms frames (the reference's
+    refac01 6-tuple max_seq_length, data_io.py:167-201,284-309)."""
 
     names: List[str]  # per (possibly split) sentence
     feats: np.ndarray  # (N_frames, D) float32, all feature streams stacked
-    labs: np.ndarray  # (N_frames, L) int32, one column per label stream
-    end_index: np.ndarray  # cumulative sentence end rows
+    labs: np.ndarray  # (N_lab_frames, L) int32, one column per label stream
+    end_index: np.ndarray  # cumulative sentence end rows (features)
     fea_layout: Dict[str, Tuple[int, int]]  # stream -> column range
     lab_layout: Dict[str, int]  # stream -> label column
     shuffled: bool = False
+    lab_end_index: Optional[np.ndarray] = None  # defaults to end_index
+    window_shift: int = 1  # raw-wave: samples per label frame step
+    window_size: int = 1  # raw-wave: samples per label frame window
+
+    def __post_init__(self):
+        if self.lab_end_index is None:
+            self.lab_end_index = self.end_index
+
+    @property
+    def rates_differ(self) -> bool:
+        return self.lab_end_index is not self.end_index and not np.array_equal(
+            self.lab_end_index, self.end_index
+        )
 
     @property
     def n_frames(self) -> int:
@@ -56,47 +73,80 @@ class ChunkData:
         starts = np.concatenate([[0], self.end_index[:-1]])
         return self.end_index - starts
 
+    @property
+    def lab_sentence_lengths(self) -> np.ndarray:
+        starts = np.concatenate([[0], self.lab_end_index[:-1]])
+        return self.lab_end_index - starts
+
     def fea_dim(self, name: str) -> int:
         beg, end = self.fea_layout[name]
         return end - beg
 
 
+def _chunk_config(max_seq_length) -> Dict[str, int]:
+    """Normalize int or 6-int-list max_seq_length to the chunk config
+    (reference data_io.py:117-130,294-309).  List order:
+    size_fea, step_fea, size_lab, step_lab, window_shift, window_size."""
+    if isinstance(max_seq_length, (list, tuple)):
+        sf, stf, sl, stl, shift, window = [int(v) for v in max_seq_length]
+        return {
+            "size_fea": sf, "step_fea": stf, "size_lab": sl, "step_lab": stl,
+            "window_shift": shift, "window_size": window,
+        }
+    m = int(max_seq_length)
+    return {
+        "size_fea": m, "step_fea": m, "size_lab": m, "step_lab": m,
+        "window_shift": 1, "window_size": 1,
+    }
+
+
 def _split_sentence(
-    fea: np.ndarray, lab: Optional[np.ndarray], max_len: int
+    fea: np.ndarray, lab: Optional[np.ndarray], cc: Dict[str, int]
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
-    """Split one utterance into <=max_len chunks with the reference's
-    min-tail rule: the final piece absorbs up to max_len + max_len/4 frames
-    (data_io.py:68-115)."""
+    """Split one utterance into <=size_fea chunks with the reference's
+    min-tail rule (the final piece absorbs up to size + size/4 frames,
+    data_io.py:68-115); labels chunked at their own size/step."""
     n = len(fea)
+    size_fea, step_fea = cc["size_fea"], cc["step_fea"]
+    size_lab, step_lab = cc["size_lab"], cc["step_lab"]
     if lab is None:
-        lab = np.zeros((n,), dtype=np.int64)
-    if max_len <= 0 or n <= max_len:
+        lab = np.zeros((0,), dtype=np.int64)
+    if size_fea <= 0 or n <= size_fea:
         return [(fea, lab)]
     out = []
-    threshold = max_len + max_len / 4
-    start = 0
+    threshold = size_fea + size_fea / 4
+    i = 0
     while True:
-        remaining = n - start
-        if remaining > threshold:
-            out.append((fea[start : start + max_len], lab[start : start + max_len]))
-            start += max_len
+        start = i * step_fea
+        lab_start = i * step_lab
+        if n - start > threshold:
+            out.append(
+                (fea[start : start + size_fea],
+                 lab[lab_start : lab_start + size_lab])
+            )
         else:
-            out.append((fea[start:], lab[start:]))
+            out.append((fea[start:], lab[lab_start:]))
             break
+        i += 1
     return out
 
 
 def load_dataset_stream(
     fea: FeatureSpec,
     lab: Optional[LabelSpec],
-    max_seq_length: int,
+    max_seq_length,
     fea_only: bool = False,
-) -> Tuple[List[str], np.ndarray, np.ndarray, np.ndarray]:
+):
     """Read one (feature, label) stream pair and produce concatenated,
     length-sorted sentence chunks (reference load_dataset, data_io.py:16-210).
 
-    Returns (names, fea_conc, lab_conc, end_index).
+    `max_seq_length` is an int, or the raw-wave 6-int list
+    (size_fea, step_fea, size_lab, step_lab, window_shift, window_size)
+    when features and labels run at different time rates.
+
+    Returns (names, fea_conc, lab_conc, end_index, lab_end_index).
     """
+    cc = _chunk_config(max_seq_length)
     stages = parse_pipeline(fea.opts) if fea.opts else []
     # wav-vs-feature sniffing by RIFF header (data_io.py:19-28)
     first_rx = next(iter(kio.read_scp_entries(fea.lst)), None)
@@ -121,18 +171,38 @@ def load_dataset_stream(
         feats = {k: feats[k] for k in common}
         labels = {k: labels[k] for k in common}
 
+    rates_differ = cc["window_size"] > 1 or cc["window_shift"] > 1
+    if rates_differ and labels:
+        # feature samples vs label frames: pad/trim features to
+        # (n_lab - 1) * shift + window samples (data_io.py:167-201)
+        for k in list(feats):
+            n_fea = feats[k].shape[0]
+            want = (labels[k].shape[0] - 1) * cc["window_shift"] + cc["window_size"]
+            if abs(n_fea - want) > cc["window_shift"]:
+                raise ValueError(
+                    f"utterance {k!r}: {n_fea} feature rows vs {want} "
+                    f"expected from {labels[k].shape[0]} labels"
+                )
+            if n_fea > want:
+                feats[k] = feats[k][:want]
+            elif n_fea < want:
+                pad = np.zeros((want - n_fea,) + feats[k].shape[1:],
+                               dtype=feats[k].dtype)
+                feats[k] = np.concatenate([feats[k], pad])
+
     names: List[str] = []
     fea_parts: List[np.ndarray] = []
     lab_parts: List[np.ndarray] = []
     # sort keys alphabetically then (stable) by length — data_io.py:135
     ordered = sorted(sorted(feats.keys()), key=lambda k: len(feats[k]))
     for key in ordered:
-        pieces = _split_sentence(
-            feats[key], labels.get(key) if labels else None, max_seq_length
-        )
+        lab_arr = labels.get(key) if labels else None
+        pieces = _split_sentence(feats[key], lab_arr, cc)
         for j, (fp, lp) in enumerate(pieces):
             names.append(f"{key}_split{j}" if len(pieces) > 1 else key)
             fea_parts.append(fp)
+            if lab_arr is None:
+                lp = np.zeros((fp.shape[0],), dtype=np.int64)
             lab_parts.append(lp)
 
     # final sort of the split pieces by length (data_io.py:146-150)
@@ -142,32 +212,47 @@ def load_dataset_stream(
     lab_parts = [lab_parts[i] for i in order]
 
     end_index = np.cumsum([p.shape[0] for p in fea_parts])
+    lab_end_index = np.cumsum([p.shape[0] for p in lab_parts])
     fea_conc = np.concatenate(fea_parts) if fea_parts else np.zeros((0, 1))
     lab_conc = np.concatenate(lab_parts) if lab_parts else np.zeros((0,))
-    return names, fea_conc, lab_conc, end_index
+    return names, fea_conc, lab_conc, end_index, lab_end_index
 
 
 def load_chunk_stream(
     fea: FeatureSpec,
     lab: Optional[LabelSpec],
-    max_seq_length: int,
+    max_seq_length,
     fea_only: bool = False,
 ):
     """load_dataset + splice + per-chunk CMVN + label trim
     (reference load_chunk, data_io.py:244-274)."""
-    names, fea_conc, lab_conc, end_index = load_dataset_stream(
+    names, fea_conc, lab_conc, end_index, lab_end_index = load_dataset_stream(
         fea, lab, max_seq_length, fea_only
     )
+    rates_differ = not np.array_equal(end_index, lab_end_index)
     left, right = fea.cw_left, fea.cw_right
     if left != 0 or right != 0:
+        if rates_differ:
+            raise ValueError(
+                "context windows are unsupported when feature/label time "
+                "rates differ (raw-wave path uses cw 0/0)"
+            )
         fea_conc = F.splice(fea_conc, left, right)
     end_index = end_index - left
     end_index[-1] = end_index[-1] - right
     fea_conc = F.chunk_cmvn(fea_conc)
     if not fea_only and lab_conc.size:
         lab_conc = lab_conc - lab_conc.min()
-    lab_conc = lab_conc[left : len(lab_conc) - right if right > 0 else None]
-    return names, fea_conc.astype(np.float32), lab_conc.astype(np.int64), end_index
+    if not rates_differ:
+        lab_conc = lab_conc[left : len(lab_conc) - right if right > 0 else None]
+        lab_end_index = end_index
+    return (
+        names,
+        fea_conc.astype(np.float32),
+        lab_conc.astype(np.int64),
+        end_index,
+        lab_end_index,
+    )
 
 
 def load_chunk(
@@ -197,22 +282,28 @@ def load_chunk(
 
     data_set = None
     all_labs: List[np.ndarray] = []
-    names = end_index = None
+    names = end_index = lab_end_index = None
     fea_layout: Dict[str, Tuple[int, int]] = {}
     col = 0
     for fi, fea in enumerate(feas):
         lab_sources = labs if labs else [None]
         for li, lab in enumerate(lab_sources):
-            n_, f_, l_, e_ = load_chunk_stream(fea, lab, max_seq_length, fea_only)
+            n_, f_, l_, e_, le_ = load_chunk_stream(
+                fea, lab, max_seq_length, fea_only
+            )
+            rates_differ = not np.array_equal(e_, le_)
             # compensate different context windows across streams
             # (data_io.py:577-581)
             lo = cw_left_max - fea.cw_left
             hi = f_.shape[0] - (cw_right_max - fea.cw_right)
-            f_, l_ = f_[lo:hi], l_[lo:hi]
+            f_ = f_[lo:hi]
+            if not rates_differ:
+                l_ = l_[lo:hi]
             e_ = e_ - lo
             e_[-1] = e_[-1] - (cw_right_max - fea.cw_right)
             if fi == 0 and li == 0:
                 names, end_index = n_, e_
+                lab_end_index = e_ if not rates_differ else le_
             else:
                 if n_ != names:
                     raise ValueError(
@@ -231,7 +322,7 @@ def load_chunk(
     labs_arr = (
         np.stack(all_labs, axis=1).astype(np.int64)
         if all_labs
-        else np.zeros((data_set.shape[0], 0), dtype=np.int64)
+        else np.zeros((0, 0), dtype=np.int64)
     )
 
     chunk = ChunkData(
@@ -241,6 +332,9 @@ def load_chunk(
         end_index=np.asarray(end_index),
         fea_layout=fea_layout,
         lab_layout=lab_layout,
+        lab_end_index=np.asarray(lab_end_index),
+        window_shift=_chunk_config(max_seq_length)["window_shift"],
+        window_size=_chunk_config(max_seq_length)["window_size"],
     )
     if shuffle_frames:
         rng = np.random.default_rng(seed)

@@ -145,6 +145,46 @@ def _run_experiment(
     }
     prev_valid_err: Optional[float] = None
 
+    # ---------------- chunk prefetch feeder ----------------
+    # Background-load chunk N+1 while the device trains on chunk N
+    # (reference core.py:509-512; here across the whole schedule incl. the
+    # forward stage).  msl/batch params are static per (phase, epoch), so
+    # the full loader schedule is known upfront.
+    def _task_msl(task):
+        if task.phase == "train":
+            return exp.batches.seq_length_for_epoch(task.epoch)
+        if task.phase == "valid":
+            return exp.batches.max_seq_length_valid
+        return -1
+
+    schedule = [t for ep_plan in plan.epochs for t in ep_plan.tasks]
+    schedule += plan.forward_tasks
+    from ..data.prefetch import ChunkPrefetcher
+
+    feeder_state = {"prefetcher": ChunkPrefetcher(), "for_task": None}
+
+    def _start_prefetch(after_index: int):
+        for nxt in schedule[after_index + 1 :]:
+            if not nxt.done:
+                pf = feeder_state["prefetcher"]
+                pf.start(lambda t=nxt: runtime.load_task_chunk(t, _task_msl(t)))
+                feeder_state["for_task"] = nxt
+                return
+        feeder_state["for_task"] = None
+
+    def get_chunk(task):
+        idx = schedule.index(task)
+        pf = feeder_state["prefetcher"]
+        chunk = None
+        if pf.in_flight:
+            prefetched = pf.take()
+            if feeder_state["for_task"] is task:
+                chunk = prefetched
+        if chunk is None:
+            chunk = runtime.load_task_chunk(task, _task_msl(task))
+        _start_prefetch(idx)
+        return chunk
+
     # ---------------- training ----------------
     for ep_plan in plan.epochs:
         ep = ep_plan.epoch
@@ -198,7 +238,8 @@ def _run_experiment(
                 bs = batch_size if task.phase == "train" else exp.batches.batch_size_valid
                 m = msl if task.phase == "train" else exp.batches.max_seq_length_valid
                 res = runtime.run_task(
-                    task, epoch_lr=epoch_lr, max_seq_length=m, batch_size=bs
+                    task, epoch_lr=epoch_lr, max_seq_length=m, batch_size=bs,
+                    chunk=get_chunk(task),
                 )
                 if not os.path.exists(task.info_file):
                     _log(out_folder, f"ERROR: task {task.info_file} produced no info")
@@ -245,7 +286,7 @@ def _run_experiment(
         if task.done:
             res = _result_from_info(task)
         else:
-            res = runtime.run_task(task)
+            res = runtime.run_task(task, chunk=get_chunk(task))
         for i, out in enumerate(exp.forward.outs):
             suffix = (
                 "_to_decode.ark" if exp.forward.require_decoding[i] else ".ark"
