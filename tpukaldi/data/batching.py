@@ -139,6 +139,48 @@ def iter_forward_utterances(chunk: ChunkData) -> Iterator[SeqBatch]:
         )
 
 
+def iter_forward_batches(
+    chunk: ChunkData,
+    batch_size: int = 8,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+) -> Iterator[SeqBatch]:
+    """Bucketed batched forward: utterances grouped by padded length and
+    emitted as (T_bucket, B<=batch_size, D) batches with true `lengths`.
+
+    The reference parallelizes forwarding with one OS process per chunk on
+    CPU (run_exp.py:45-50,478-498); on TPU the equivalent throughput lever
+    is batching the jitted forward — exact for bidirectional models via
+    lengths-aware reversal, with padding rows sliced off by the caller.
+    """
+    starts = np.concatenate([[0], chunk.end_index[:-1]])
+    lab_starts = np.concatenate([[0], chunk.lab_end_index[:-1]])
+    by_bucket = {}
+    for i in range(chunk.n_sentences):
+        T = bucket_for(int(chunk.sentence_lengths[i]), buckets)
+        by_bucket.setdefault(T, []).append(i)
+    L = chunk.labs.shape[1]
+    for T, idxs in sorted(by_bucket.items()):
+        for beg in range(0, len(idxs), batch_size):
+            group = idxs[beg : beg + batch_size]
+            # pad the batch axis to batch_size so XLA sees one (T, B) shape
+            # per bucket; padded rows have length 0 and no name
+            B = batch_size
+            feats = np.zeros((T, B, chunk.feats.shape[1]), dtype=np.float32)
+            labs = np.zeros((T, B, L), dtype=np.int64)
+            lens = np.zeros(B, dtype=np.int64)
+            names = []
+            for k, i in enumerate(group):
+                ln = int(chunk.sentence_lengths[i])
+                feats[:ln, k] = chunk.feats[int(starts[i]) : int(starts[i]) + ln]
+                if L and not chunk.rates_differ:
+                    labs[:ln, k] = chunk.labs[
+                        int(lab_starts[i]) : int(lab_starts[i]) + ln
+                    ]
+                lens[k] = ln
+                names.append(chunk.names[i])
+            yield SeqBatch(feats=feats, labs=labs, names=names, lengths=lens)
+
+
 def n_seq_batches(chunk: ChunkData, batch_size: int) -> int:
     return chunk.n_sentences // batch_size
 

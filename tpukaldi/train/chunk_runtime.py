@@ -226,7 +226,9 @@ class ChunkRuntime:
         )
 
     def _run_forward(self, task, chunk) -> ChunkResult:
-        from ..data.batching import bucket_for
+        import os as _os
+
+        from ..data.batching import bucket_for, iter_forward_batches
 
         # lazily init from the first utterance if training was skipped
         first = next(iter_forward_utterances(chunk), None)
@@ -235,24 +237,30 @@ class ChunkRuntime:
         self.ensure_initialized(chunk, jax.numpy.asarray(first.feats), None)
         self.restore_from(task.pretrain_files)
         n, frames = 0, 0
+        # batched bucketed forward (TPU analog of the reference's per-chunk
+        # forwarding process pool, run_exp.py:478-498); rate-differing
+        # (raw-wave) utterances keep batch 1 to preserve the window relation
+        fwd_bs = int(_os.environ.get("TPUKALDI_FORWARD_BATCH", "8"))
+        if chunk.rates_differ:
+            fwd_bs = 1
         with PosteriorWriter(self.exp.forward, task.info_file) as writer:
-            for utt in iter_forward_utterances(chunk):
-                T = utt.feats.shape[0]
-                # pad T to a bucket so XLA compiles once per bucket, not per
-                # utterance length; exact for bidir via lengths-aware reversal
-                T_pad = bucket_for(T)
-                feats = np.zeros(
-                    (T_pad,) + utt.feats.shape[1:], dtype=utt.feats.dtype
-                )
-                feats[:T] = utt.feats
+            for batch in iter_forward_batches(chunk, fwd_bs):
+                T, B = batch.feats.shape[:2]
                 outs = self._forward_step(
                     self.params,
                     self.batch_stats,
-                    jax.numpy.asarray(feats),
-                    jax.numpy.asarray([T]),
+                    jax.numpy.asarray(batch.feats),
+                    jax.numpy.asarray(batch.lengths),
                 )
                 for out_name, value in outs.items():
-                    writer.write(out_name, utt.names[0], np.asarray(value)[:T])
-                n += 1
-                frames += T_pad
+                    # front-ends may change the time axis (samples -> mel
+                    # frames); recover it from the flattened output
+                    post = np.asarray(value).reshape(-1, B, value.shape[-1])
+                    for k, name in enumerate(batch.names):
+                        ln = int(batch.lengths[k])
+                        if chunk.rates_differ:
+                            ln = (ln - chunk.window_size) // chunk.window_shift + 1
+                        writer.write(out_name, name, post[:ln, k])
+                n += B
+                frames += T * B
         return ChunkResult(0.0, 0.0, 0.0, n, frames)
