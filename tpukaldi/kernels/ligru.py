@@ -100,43 +100,49 @@ def _fwd(ff, u, mask, interpret):
 
 
 def _bwd(interpret, res, g):
+    """Reverse-time backward with everything hoistable hoisted:
+
+    - gate rematerialization (h_prev @ U) runs as ONE (T*B, H) x (H, 2H)
+      MXU matmul before the scan;
+    - dU = h_prev^T @ dA and the mask gradient run as single post-scan
+      contractions instead of per-step outer-product accumulation;
+    - the scan body is elementwise + one (B, 2H) x (2H, H) matmul for the
+      dh chain — the only truly sequential computation.
+    """
     ff, u, mask, h_seq = res
     T, B, H2 = ff.shape
     H = H2 // 2
     h_prev = jnp.concatenate(
         [jnp.zeros((1, B, H), ff.dtype), h_seq[:-1]], axis=0
     )
+    r_all = (h_prev.reshape(T * B, H) @ u).reshape(T, B, 2 * H)
+    a_h = ff[..., :H] + r_all[..., :H]
+    a_z = ff[..., H:] + r_all[..., H:]
+    zt = jax.nn.sigmoid(a_z)
+    hc = jnp.maximum(a_h, 0.0) * mask
+    ut = u.T
 
-    def step(carry, inputs):
-        dh_next, du, dmask = carry
-        g_t, ff_t, hp = inputs
-        # rematerialize gates from the saved h sequence
-        r = hp @ u
-        a_z = ff_t[:, H:] + r[:, H:]
-        a_h = ff_t[:, :H] + r[:, :H]
-        zt = jax.nn.sigmoid(a_z)
-        hc = jnp.maximum(a_h, 0.0) * mask
+    def step(dh_next, inputs):
+        g_t, hp, zt_t, hc_t, apos_t = inputs
         gh = g_t + dh_next
-        dz = gh * (hp - hc)
-        da_z = dz * zt * (1.0 - zt)
-        dhc = gh * (1.0 - zt)
-        da_h = dhc * mask * (a_h > 0.0)
+        dz = gh * (hp - hc_t)
+        da_z = dz * zt_t * (1.0 - zt_t)
+        dhc = gh * (1.0 - zt_t)
+        da_h = dhc * mask * apos_t
         da = jnp.concatenate([da_h, da_z], axis=1)  # (B, 2H)
-        dh_prev = gh * zt + da @ u.T
-        du = du + hp.T @ da
-        dmask = dmask + dhc * jnp.maximum(a_h, 0.0)
-        return (dh_prev, du, dmask), da
+        dh_prev = gh * zt_t + da @ ut
+        return dh_prev, (da, dhc)
 
-    (dh0, du, dmask), dff = jax.lax.scan(
+    apos = (a_h > 0.0).astype(ff.dtype)
+    _, (dff, dhc_seq) = jax.lax.scan(
         step,
-        (
-            jnp.zeros((B, H), ff.dtype),
-            jnp.zeros_like(u),
-            jnp.zeros((B, H), ff.dtype),
-        ),
-        (g, ff, h_prev),
+        jnp.zeros((B, H), ff.dtype),
+        (g, h_prev, zt, hc, apos),
         reverse=True,
     )
+    # post-scan contractions (MXU-shaped)
+    du = h_prev.reshape(T * B, H).T @ dff.reshape(T * B, 2 * H)
+    dmask = jnp.sum(dhc_seq * jnp.maximum(a_h, 0.0), axis=0)
     return dff, du, dmask
 
 
