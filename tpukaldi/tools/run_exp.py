@@ -314,17 +314,29 @@ def _run_experiment(
                 with open(res_file, "a") as f:
                     f.write(line + "\n")
                 _log(out_folder, line)
+            # save_out_file=False drops the posterior arks after decoding
+            # (reference run_exp.py:611-615)
+            if not exp.forward.save_out_file[i]:
+                for ark in arks:
+                    if os.path.exists(ark):
+                        os.remove(ark)
     return exp
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
-        print("usage: python -m tpukaldi.tools.run_exp <cfg> [--sec,field=value ...]")
+        print(
+            "usage: python -m tpukaldi.tools.run_exp <cfg> [--mesh] "
+            "[--sec,field=value ...]"
+        )
         return 2
-    cfg_file, overrides = argv[0], argv[1:]
+    cfg_file = argv[0]
+    rest = argv[1:]
+    use_mesh = "--mesh" in rest
+    overrides = [a for a in rest if a != "--mesh"]
     try:
-        run_experiment(cfg_file, overrides=overrides)
+        run_experiment(cfg_file, overrides=overrides, use_mesh=use_mesh)
     except ConfigError as e:
         print(f"config error: {e}", file=sys.stderr)
         return 1
