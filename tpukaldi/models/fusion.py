@@ -24,7 +24,6 @@ from .common import (
     int_list,
     make_batchnorm,
     orthogonal_init,
-    recurrent_drop_mask,
 )
 from .recurrent import _reverse_time
 

@@ -22,7 +22,7 @@ Tensor contract: x is (T, B, D) -> (T, B, out_dim).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import ConfigError, load_config
 from ..config.cfg import ExperimentConfig
-from ..plan import ChunkTask, ExperimentPlan, build_plan
+from ..plan import ChunkTask, build_plan
 from ..train.chunk_runtime import ChunkResult, ChunkRuntime, read_info
 from ..decode.bridge import harvest_wer, run_decode
 
@@ -124,7 +124,9 @@ def _run_experiment(
     except Exception as e:  # diagram failure must never block training
         _log(out_folder, f"[diagram] skipped: {e}")
 
-    plan = build_plan(exp)
+    # optional nr_of_valid_per_epoch in [exp] (reference utils.py:771-782)
+    n_valid = int(exp.raw["exp"].get("nr_of_valid_per_epoch", "1"))
+    plan = build_plan(exp, n_valid_per_epoch=n_valid)
     mesh = None
     if use_mesh:
         from ..dist.mesh import data_parallel_mesh

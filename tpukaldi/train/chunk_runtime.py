@@ -228,7 +228,7 @@ class ChunkRuntime:
     def _run_forward(self, task, chunk) -> ChunkResult:
         import os as _os
 
-        from ..data.batching import bucket_for, iter_forward_batches
+        from ..data.batching import iter_forward_batches
 
         # lazily init from the first utterance if training was skipped
         first = next(iter_forward_utterances(chunk), None)

@@ -13,11 +13,11 @@ by XLA's compiler-inserted psum over ICI (SURVEY.md §2.4 rebuild note).
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
+
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..graph.compiler import GraphSpec, apply_graph
