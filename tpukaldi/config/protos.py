@@ -258,7 +258,9 @@ ARCH_PROTOS: Dict[str, Proto] = {
 }
 
 # extension fields beyond the reference schema; never required in cfgs
-OPTIONAL_FIELDS = {"ligru_impl"}
+# fusionRNN "batches" is injected at runtime by the reference, never
+# present in cfgs; our implementation does not need it
+OPTIONAL_FIELDS = {"ligru_impl", "batches"}
 ARCH_PROTOS["liGRU.proto"]["proto"]["ligru_impl"] = "{auto,pallas,scan}"
 
 OPT_PROTOS: Dict[str, Proto] = {

@@ -283,6 +283,12 @@ def _run_experiment(
                 _sh.copyfile(src, final)
 
     # ---------------- forward ----------------
+    # resolve normalize_with_counts_from (native analyze-counts when
+    # counts name a label with lab_count_file=auto)
+    from ..forward.counts import resolve_count_files
+
+    resolve_count_files(exp, os.path.join(out_folder, "exp_files"))
+
     ark_files: Dict[str, List[str]] = {}
     for task in plan.forward_tasks:
         if task.done:
