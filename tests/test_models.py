@@ -224,3 +224,23 @@ def test_jit_compiles_once_per_shape():
     out1 = fwd(variables, x)
     out2 = fwd(variables, x * 2)
     assert out1.shape == out2.shape
+
+
+def test_remat_gradients_match():
+    """ligru_remat=True: identical gradients, recomputed backward."""
+    opts = _opts_recurrent("ligru", bidir=True)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((T, B, D)), jnp.float32)
+    m1 = liGRU(options=opts, inp_dim=D)
+    v = m1.init({"params": jax.random.key(0)}, x, train=False)
+    m2 = liGRU(options={**opts, "ligru_remat": "True"}, inp_dim=D)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply({"params": p}, x, train=False) ** 2)
+
+    g1 = jax.grad(loss(m1))(v["params"])
+    g2 = jax.grad(loss(m2))(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -134,6 +134,7 @@ def _recurrent_proto(prefix: str) -> Proto:
             f"{prefix}_bidir": "bool",
             f"{prefix}_act": "str_list",
             f"{prefix}_orthinit": "bool",
+            f"{prefix}_remat": "bool",  # optional tpukaldi extension
         }
     }
 
@@ -260,7 +261,9 @@ ARCH_PROTOS: Dict[str, Proto] = {
 # extension fields beyond the reference schema; never required in cfgs
 # fusionRNN "batches" is injected at runtime by the reference, never
 # present in cfgs; our implementation does not need it
-OPTIONAL_FIELDS = {"ligru_impl", "batches"}
+OPTIONAL_FIELDS = {"ligru_impl", "batches"} | {
+    f"{p}_remat" for p in ("lstm", "gru", "rnn", "ligru", "minimalgru")
+}
 ARCH_PROTOS["liGRU.proto"]["proto"]["ligru_impl"] = "{auto,pallas,scan}"
 
 OPT_PROTOS: Dict[str, Proto] = {

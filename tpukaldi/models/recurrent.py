@@ -210,7 +210,16 @@ class _RecurrentBase(nn.Module):
                 return state, out
 
             state0 = self.init_state(Bp, hidden)
-            _, h = jax.lax.scan(scan_step, state0, ff)
+
+            def run_scan(state0, ff):
+                return jax.lax.scan(scan_step, state0, ff)
+
+            if to_bool(o.get(f"{p}_remat", "False")):
+                # rematerialize the recurrence on backward: drops per-step
+                # gate residuals from memory at the cost of a second forward
+                # (jax.checkpoint; useful for deep stacks on long sequences)
+                run_scan = jax.checkpoint(run_scan)
+            _, h = run_scan(state0, ff)
 
             if bidir:
                 h_f = h[:, : Bp // 2]
