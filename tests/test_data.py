@@ -169,3 +169,12 @@ def test_deterministic_plan(exp):
     t1 = [t.fea_lists for t in p1.epochs[0].tasks]
     t2 = [t.fea_lists for t in p2.epochs[0].tasks]
     assert t1 == t2
+
+
+def test_forward_task_host_sharding(exp):
+    plan = build_plan(exp)
+    # 3 hosts partition the forward tasks completely and disjointly
+    shards = [plan.shard_forward_tasks(h, 3) for h in range(3)]
+    all_ids = [id(t) for s in shards for t in s]
+    assert sorted(all_ids) == sorted(id(t) for t in plan.forward_tasks)
+    assert len(set(all_ids)) == len(all_ids)

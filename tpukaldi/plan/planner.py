@@ -89,6 +89,15 @@ class ExperimentPlan:
             yield from ep.tasks
         yield from self.forward_tasks
 
+    def shard_forward_tasks(self, host_id: int, n_hosts: int) -> List[ChunkTask]:
+        """Multi-host work partition for the embarrassingly parallel forward
+        stage: host k takes every n-th forward chunk; the `.info` ledger is
+        the coordination mechanism (SURVEY.md §2.4 'scheduling parallelism'
+        note — no RPC needed, resume semantics make the union complete)."""
+        return [
+            t for i, t in enumerate(self.forward_tasks) if i % n_hosts == host_id
+        ]
+
 
 def _fmt(n: int, total: int) -> str:
     width = max(math.ceil(math.log10(total)) if total > 1 else 1, 1)
