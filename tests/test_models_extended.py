@@ -231,7 +231,7 @@ def test_cudnn_like(cls, gates):
                     jnp.float32)
     out, variables = _init_apply(model, x)
     assert out.shape == (12, 3, 32)
-    assert variables["params"]["w_ih0"].shape == (10, gates * 16)
+    assert variables["params"]["w_ih0"].shape == (2, 10, gates * 16)
 
 
 def test_fusion_rnn():

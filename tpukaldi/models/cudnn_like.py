@@ -38,8 +38,8 @@ class _CudnnBase(nn.Module):
     def out_dim(self) -> int:
         return self.compute_out_dim(self.options, self.inp_dim)
 
-    def init_state(self, batch, hidden):
-        return jnp.zeros((batch, hidden), dtype=jnp.float32)
+    def init_state(self, k, batch, hidden):
+        return jnp.zeros((k, batch, hidden), dtype=jnp.float32)
 
     def cell(self, state, ff_t, rec_h, nonlinearity):
         raise NotImplementedError
@@ -57,36 +57,51 @@ class _CudnnBase(nn.Module):
             x = x.transpose(1, 0, 2)
 
         G = self.N_GATES
+        K = 2 if bidir else 1  # directions with SEPARATE weights (as torch)
         for layer in range(n_layers):
             T, B, D = x.shape
             if bidir:
-                x = jnp.concatenate([x, _reverse_time(x, lengths)], axis=1)
-            Bp = x.shape[1]
+                x2 = jnp.stack([x, _reverse_time(x, lengths)], axis=1)
+            else:
+                x2 = x[:, None]  # (T, K, B, D)
             w_ih = self.param(
-                f"w_ih{layer}", torch_linear_uniform(hidden), (D, G * hidden)
+                f"w_ih{layer}", torch_linear_uniform(hidden), (K, D, G * hidden)
             )
             w_hh = self.param(
-                f"w_hh{layer}", orthogonal_init(), (hidden, G * hidden)
+                f"w_hh{layer}", orthogonal_init(), (K, hidden, G * hidden)
             )
-            ff = x.reshape(T * Bp, D) @ w_ih
+            ff = jnp.einsum("tkbd,kdh->tkbh", x2, w_ih)
             if use_bias:
                 b_ih = self.param(
-                    f"b_ih{layer}", torch_linear_uniform(hidden), (G * hidden,)
+                    f"b_ih{layer}", torch_linear_uniform(hidden),
+                    (K, G * hidden),
                 )
                 b_hh = self.param(
-                    f"b_hh{layer}", torch_linear_uniform(hidden), (G * hidden,)
+                    f"b_hh{layer}", torch_linear_uniform(hidden),
+                    (K, G * hidden),
                 )
-                ff = ff + b_ih + b_hh
-            ff = ff.reshape(T, Bp, G * hidden)
+                ff = ff + b_ih[None, :, None, :]
+            else:
+                b_hh = jnp.zeros((K, G * hidden), x.dtype)
 
-            def step(state, ff_t, w_hh=w_hh, nonlinearity=nonlinearity):
-                return self.cell(state, ff_t, lambda h: h @ w_hh, nonlinearity)
+            # torch semantics: b_hh is added to the RECURRENT pre-activation
+            # (matters for GRU, where the reset gate multiplies r*(W_hn h +
+            # b_hn) — folding b_hn into ff would skip the gating)
+            def step(state, ff_t, w_hh=w_hh, b_hh=b_hh,
+                     nonlinearity=nonlinearity):
+                def rec(h):  # h (K, B, H)
+                    return jnp.einsum("kbh,khg->kbg", h, w_hh) + b_hh[:, None, :]
 
-            _, h = jax.lax.scan(step, self.init_state(Bp, hidden), ff)
+                return self.cell(state, ff_t, rec, nonlinearity)
+
+            _, h = jax.lax.scan(step, self.init_state(K, B, hidden), ff)
+            # h (T, K, B, H)
             if bidir:
-                h_f = h[:, : Bp // 2]
-                h_b = _reverse_time(h[:, Bp // 2 :], lengths)
+                h_f = h[:, 0]
+                h_b = _reverse_time(h[:, 1], lengths)
                 h = jnp.concatenate([h_f, h_b], axis=2)
+            else:
+                h = h[:, 0]
             if layer < n_layers - 1:
                 h = nn.Dropout(rate=dropout, deterministic=not train)(h)
             x = h
@@ -104,8 +119,8 @@ class LSTM_cudnn(_CudnnBase):
 
     N_GATES = 4
 
-    def init_state(self, batch, hidden):
-        z = jnp.zeros((batch, hidden), dtype=jnp.float32)
+    def init_state(self, k, batch, hidden):
+        z = jnp.zeros((k, batch, hidden), dtype=jnp.float32)
         return (z, z)
 
     def cell(self, state, ff_t, rec, nonlinearity):
