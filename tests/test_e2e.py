@@ -68,3 +68,35 @@ def test_full_ligru_experiment_mesh(corpus, tmp_path_factory):
     posts = dict(read_mat_ark(os.path.join(ef, arks[0])))
     # forward emits one matrix per utterance with the utterance's length
     assert len(posts) >= 3
+
+
+def test_chunk_cfgs_materialized(corpus, tmp_path_factory):
+    """Per-chunk .cfg ledger artifacts are written in the reference's
+    global_chunk format and re-validate against the chunk proto."""
+    import configparser
+
+    from tpukaldi.config import protos
+    from tpukaldi.config.schema import validate_section
+
+    out = str(tmp_path_factory.mktemp("ckcfg"))
+    cfg = write_cfg(corpus, out, arch="MLP", n_epochs=1, n_chunks=2,
+                    batch_size=64, lr=0.2)
+    run_experiment(cfg)
+    ef = os.path.join(out, "exp_files")
+    chunk_cfgs = sorted(f for f in os.listdir(ef) if f.endswith(".cfg"))
+    # 2 train + 1 valid + 1 forward
+    assert len(chunk_cfgs) == 4
+    cp = configparser.ConfigParser()
+    cp.read(os.path.join(ef, chunk_cfgs[0]))
+    assert cp["exp"]["to_do"] in ("train", "valid", "forward")
+    assert cp["exp"]["out_info"].endswith(".info")
+    # chunk fea list points at the materialized .lst
+    assert "_mfcc.lst" in cp["data_chunk"]["fea"]
+    # validates against the chunk proto's exp section
+    proto = dict(protos.GLOBAL_CHUNK["exp"])
+    validate_section(cp["exp"], proto, "exp")
+    # train chunk 1 pretrains from chunk 0's checkpoint
+    cp1 = configparser.ConfigParser()
+    train_cfgs = [f for f in chunk_cfgs if f.startswith("train")]
+    cp1.read(os.path.join(ef, train_cfgs[1]))
+    assert "_ck0_MLP_layers1.ckpt" in cp1["architecture1"]["arch_pretrain_file"]

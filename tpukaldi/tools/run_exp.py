@@ -25,6 +25,7 @@ import numpy as np
 from ..config import ConfigError, load_config
 from ..config.cfg import ExperimentConfig
 from ..plan import ChunkTask, build_plan
+from ..plan.chunk_cfg import write_chunk_cfg
 from ..train.chunk_runtime import ChunkResult, ChunkRuntime, read_info
 from ..decode.bridge import harvest_wer, run_decode
 
@@ -239,6 +240,9 @@ def _run_experiment(
                 epoch_lr = {a: lr[a][ep] for a in lr}
                 bs = batch_size if task.phase == "train" else exp.batches.batch_size_valid
                 m = msl if task.phase == "train" else exp.batches.max_seq_length_valid
+                task.write_lst_files()
+                write_chunk_cfg(exp, task, lr=epoch_lr, batch_size=bs,
+                                max_seq_length=m)
                 res = runtime.run_task(
                     task, epoch_lr=epoch_lr, max_seq_length=m, batch_size=bs,
                     chunk=get_chunk(task),
@@ -294,6 +298,8 @@ def _run_experiment(
         if task.done:
             res = _result_from_info(task)
         else:
+            task.write_lst_files()
+            write_chunk_cfg(exp, task)
             res = runtime.run_task(task, chunk=get_chunk(task))
         for i, out in enumerate(exp.forward.outs):
             suffix = (
