@@ -153,3 +153,50 @@ def test_truncated_stream_raises():
         stream = io.BytesIO(raw)
         kio.read_key(stream)
         kio.read_mat(stream)
+
+
+def test_empty_and_single_frame_entries():
+    """Edge cases: zero-row matrix, single-frame matrix, empty int vector."""
+    buf = io.BytesIO()
+    kio.write_mat(buf, np.zeros((0, 5), dtype=np.float32), key="empty")
+    kio.write_mat(buf, np.ones((1, 5), dtype=np.float32), key="one")
+    buf.seek(0)
+    out = dict(kio.read_mat_ark(buf))
+    assert out["empty"].shape == (0, 5)
+    assert out["one"].shape == (1, 5)
+
+    buf = io.BytesIO()
+    kio.write_vec_int(buf, np.array([], dtype=np.int64), key="e")
+    kio.write_vec_int(buf, np.array([3], dtype=np.int64), key="s")
+    buf.seek(0)
+    out = dict(kio.read_vec_int_ark(buf))
+    assert out["e"].shape == (0,)
+    np.testing.assert_array_equal(out["s"], [3])
+
+
+def test_double_matrix_and_vector():
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((4, 3))
+    vec = rng.standard_normal(7)
+    buf = io.BytesIO()
+    kio.write_mat(buf, mat, key="dm")  # float64 -> DM
+    kio.write_vec_flt(buf, vec, key="dv")  # float64 -> DV
+    buf.seek(0)
+    key = kio.read_key(buf)
+    m = kio.read_mat(buf)
+    key2 = kio.read_key(buf)
+    v = kio.read_vec_flt(buf)
+    np.testing.assert_allclose(m, mat.astype(np.float32), rtol=1e-6)
+    np.testing.assert_allclose(v, vec.astype(np.float32), rtol=1e-6)
+
+
+def test_cm3_roundtrip_decode():
+    rows, cols = 6, 4
+    vals = np.arange(rows * cols, dtype=np.uint8)
+    min_v, rng_v = 0.5, 2.0
+    buf = b"k \x00B" + b"CM3" + b" "
+    buf += struct.pack("<ff", min_v, rng_v) + struct.pack("<ii", rows, cols)
+    buf += vals.tobytes()
+    out = dict(kio.read_mat_ark(io.BytesIO(buf)))["k"]
+    expected = min_v + rng_v / 255.0 * vals.astype(np.float64)
+    np.testing.assert_allclose(out, expected.reshape(rows, cols), rtol=1e-5)
