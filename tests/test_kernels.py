@@ -115,3 +115,58 @@ def test_model_pallas_impl_gradients():
     g = jax.grad(loss)(v["params"])
     total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_lstm_kernel_forward_parity():
+    from tpukaldi.kernels.lstm import lstm_recurrence, lstm_recurrence_scan
+
+    rng = np.random.default_rng(5)
+    ff = jnp.asarray(rng.standard_normal((T, B, 4 * H)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((H, 4 * H)) * 0.3, jnp.float32)
+    mask = jnp.asarray(rng.random((B, H)) > 0.2, jnp.float32)
+    h_scan = lstm_recurrence_scan(ff, u, mask)
+    h_pallas = lstm_recurrence(ff, u, mask, True)
+    np.testing.assert_allclose(
+        np.asarray(h_pallas), np.asarray(h_scan), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_lstm_kernel_vjp_parity():
+    from tpukaldi.kernels.lstm import lstm_recurrence, lstm_recurrence_scan
+
+    rng = np.random.default_rng(6)
+    ff = jnp.asarray(rng.standard_normal((T, B, 4 * H)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((H, 4 * H)) * 0.3, jnp.float32)
+    mask = jnp.asarray(rng.random((B, H)) > 0.2, jnp.float32)
+
+    g1 = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(lstm_recurrence(*a, True))), argnums=(0, 1, 2)
+    )(ff, u, mask)
+    g2 = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(lstm_recurrence_scan(*a))), argnums=(0, 1, 2)
+    )(ff, u, mask)
+    for a, b, name in zip(g1, g2, ("dff", "du", "dmask")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5, err_msg=name
+        )
+
+
+def test_lstm_model_pallas_impl_matches_scan():
+    from tpukaldi.models import LSTM
+
+    base = {
+        "lstm_lay": "8", "lstm_drop": "0.0",
+        "lstm_use_laynorm_inp": "False", "lstm_use_batchnorm_inp": "False",
+        "lstm_use_laynorm": "False", "lstm_use_batchnorm": "False",
+        "lstm_bidir": "True", "lstm_act": "tanh", "lstm_orthinit": "True",
+    }
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((T, B, 6)), jnp.float32)
+    m_scan = LSTM(options={**base, "lstm_impl": "scan"}, inp_dim=6)
+    v = m_scan.init({"params": jax.random.key(0)}, x, train=False)
+    out_scan = m_scan.apply(v, x, train=False)
+    m_pallas = LSTM(options={**base, "lstm_impl": "pallas"}, inp_dim=6)
+    out_pallas = m_pallas.apply(v, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_scan), rtol=1e-5, atol=1e-5
+    )

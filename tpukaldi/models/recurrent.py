@@ -352,6 +352,20 @@ class LSTM(_RecurrentBase):
     FF_GATES = ("f", "i", "o", "c")
     REC_GATES = ("f", "i", "o", "c")
 
+    def maybe_fused(self, i, ff, u, extras, act_name, use_ln, drop_mask, train):
+        """Fused Pallas LSTM for the tanh/no-laynorm case
+        (lstm_impl = auto|pallas|scan, like the liGRU)."""
+        impl = self.options.get("lstm_impl", "auto")
+        if impl == "scan" or act_name != "tanh" or use_ln:
+            return None
+        on_tpu = jax.default_backend() == "tpu"
+        if impl == "auto" and not on_tpu:
+            return None
+        from ..kernels.lstm import lstm_recurrence
+
+        mask = jnp.broadcast_to(drop_mask, (ff.shape[1], ff.shape[2] // 4))
+        return lstm_recurrence(ff, u, mask, not on_tpu)
+
     def init_state(self, batch, hidden):
         z = jnp.zeros((batch, hidden), dtype=jnp.float32)
         return (z, z)

@@ -92,16 +92,21 @@ def run_experiment(
     # capture a jax profiler trace of the whole run (view with tensorboard
     # or xprof); per-chunk frames/sec always lands in the .info ledger
     profile_dir = os.environ.get("TPUKALDI_PROFILE_DIR")
-    if profile_dir:
-        import jax
+    # TPUKALDI_MATMUL_PRECISION=bfloat16|tensorfloat32|float32 sets the XLA
+    # default matmul precision for the whole run (bf16 is the MXU-native
+    # fast path; the reference recipe trains fine in f32 — opt-in knob)
+    precision = os.environ.get("TPUKALDI_MATMUL_PRECISION")
+    import jax
 
+    if profile_dir:
         jax.profiler.start_trace(profile_dir)
     try:
+        if precision:
+            with jax.default_matmul_precision(precision):
+                return _run_experiment(cfg_file, overrides, use_mesh)
         return _run_experiment(cfg_file, overrides, use_mesh)
     finally:
         if profile_dir:
-            import jax
-
             jax.profiler.stop_trace()
 
 
@@ -162,6 +167,7 @@ def _run_experiment(
 
     schedule = [t for ep_plan in plan.epochs for t in ep_plan.tasks]
     schedule += plan.forward_tasks
+    schedule_index = {id(t): i for i, t in enumerate(schedule)}
     from ..data.prefetch import ChunkPrefetcher
 
     feeder_state = {"prefetcher": ChunkPrefetcher(), "for_task": None}
@@ -176,7 +182,7 @@ def _run_experiment(
         feeder_state["for_task"] = None
 
     def get_chunk(task):
-        idx = schedule.index(task)
+        idx = schedule_index[id(task)]
         pf = feeder_state["prefetcher"]
         chunk = None
         if pf.in_flight:
