@@ -1,0 +1,120 @@
+"""Decode-bridge tests: conf generation, script invocation (stubbed
+decode_dnn.sh), WER harvesting, res.res integration, save_out_file
+cleanup."""
+
+import os
+import stat
+
+import pytest
+
+from tpukaldi.config.cfg import DecodingSpec, LabelSpec
+from tpukaldi.decode import harvest_wer, run_decode, write_decoding_conf
+
+
+STUB = """#!/bin/bash
+# decode_dnn.sh stub: <conf> <out_dir> "<ark files>"
+conf=$1; out=$2; arks=$3
+mkdir -p "$out"
+grep -q "alidir" "$conf" || exit 1
+for a in $arks; do [ -f "$a" ] || exit 2; done
+echo "%WER 18.1 [ 1234 / 6820 ]" > "$out/wer_4"
+echo "%WER 17.2 [ 1173 / 6820 ]" > "$out/wer_5"
+echo "%WER 17.9 [ 1220 / 6820 ]" > "$out/wer_6"
+exit 0
+"""
+
+
+def _fake_exp(tmp_path, script):
+    class Exp:
+        pass
+
+    exp = Exp()
+    exp.out_folder = str(tmp_path / "out")
+    os.makedirs(exp.out_folder, exist_ok=True)
+    exp.decoding = DecodingSpec(
+        script_folder=str(tmp_path),
+        script=os.path.basename(script),
+        options={"beam": "13.0", "acwt": "0.2", "min_active": "200"},
+    )
+    return exp
+
+
+def test_write_decoding_conf(tmp_path):
+    lab = LabelSpec("lab_cd", str(tmp_path), "ali-to-pdf",
+                    data_folder=str(tmp_path), graph=str(tmp_path))
+    dec = DecodingSpec(options={"beam": "13.0", "acwt": "0.2"})
+    conf = write_decoding_conf(str(tmp_path / "d.conf"), dec, lab, "/o")
+    text = open(conf).read()
+    assert "[decoding]" in text
+    assert "beam = 13.0" in text
+    assert f"alidir = {tmp_path}" in text
+    assert "out_folder = /o" in text
+
+
+def test_run_decode_and_harvest(tmp_path):
+    script = tmp_path / "decode_dnn.sh"
+    script.write_text(STUB)
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    ark = tmp_path / "post.ark"
+    ark.write_bytes(b"dummy")
+    exp = _fake_exp(tmp_path, str(script))
+    lab = LabelSpec("lab_cd", str(tmp_path), "ali-to-pdf",
+                    data_folder=str(tmp_path), graph=str(tmp_path))
+    log = str(tmp_path / "log.log")
+    dec_dir = run_decode(exp, lab, "out_dnn1", "test", [str(ark)], log)
+    assert dec_dir and os.path.isdir(dec_dir)
+    best = harvest_wer(dec_dir)
+    assert best["wer"] == 17.2  # min over LM weights
+    assert best["file"].endswith("wer_5")
+
+
+def test_run_decode_missing_script_logs_and_skips(tmp_path):
+    exp = _fake_exp(tmp_path, str(tmp_path / "nonexistent.sh"))
+    lab = LabelSpec("lab_cd", str(tmp_path), "", data_folder=str(tmp_path),
+                    graph=str(tmp_path))
+    log = str(tmp_path / "log.log")
+    out = run_decode(exp, lab, "o", "d", ["a.ark"], log)
+    assert out is None
+    assert "skipped" in open(log).read()
+
+
+def test_run_decode_failure_raises(tmp_path):
+    script = tmp_path / "decode_dnn.sh"
+    script.write_text("#!/bin/bash\nexit 3\n")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    exp = _fake_exp(tmp_path, str(script))
+    lab = LabelSpec("lab_cd", str(tmp_path), "", data_folder=str(tmp_path),
+                    graph=str(tmp_path))
+    with pytest.raises(RuntimeError, match="decode script failed"):
+        run_decode(exp, lab, "o", "d", [], str(tmp_path / "log.log"))
+
+
+def test_e2e_decode_with_stub(tmp_path):
+    """Full experiment with a stubbed decode script: WER lands in res.res
+    and save_out_file=False removes the posterior arks."""
+    from tpukaldi.data.synth import generate_corpus, write_cfg
+    from tpukaldi.tools.run_exp import run_experiment
+
+    script = tmp_path / "decode_dnn.sh"
+    script.write_text(STUB)
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    corpus = generate_corpus(str(tmp_path / "c"), n_utts=6, seed=8)
+    cfg = write_cfg(corpus, str(tmp_path / "e"), arch="MLP", n_epochs=1,
+                    n_chunks=1, batch_size=64)
+    text = open(cfg).read()
+    text += f"""
+[decoding]
+decoding_script_folder = {tmp_path}
+decoding_script = decode_dnn.sh
+decoding_proto = proto/decoding.proto
+beam = 13.0
+acwt = 0.2
+"""
+    cfg2 = tmp_path / "dec.cfg"
+    cfg2.write_text(text)
+    run_experiment(str(cfg2))
+    res = open(tmp_path / "e" / "res.res").read()
+    assert "%WER 17.2" in res
+    # save_out_file=False -> arks removed after decode
+    ef = tmp_path / "e" / "exp_files"
+    assert not [f for f in os.listdir(ef) if f.endswith("_to_decode.ark")]
