@@ -170,3 +170,50 @@ def test_lstm_model_pallas_impl_matches_scan():
     np.testing.assert_allclose(
         np.asarray(out_pallas), np.asarray(out_scan), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("act", ["relu", "tanh"])
+def test_gru_kernel_forward_and_vjp_parity(act):
+    from tpukaldi.kernels.gru import gru_recurrence, gru_recurrence_scan
+
+    rng = np.random.default_rng(8)
+    ff = jnp.asarray(rng.standard_normal((T, B, 3 * H)), jnp.float32)
+    uzr = jnp.asarray(rng.standard_normal((H, 2 * H)) * 0.3, jnp.float32)
+    uh = jnp.asarray(rng.standard_normal((H, H)) * 0.3, jnp.float32)
+    mask = jnp.asarray(rng.random((B, H)) > 0.2, jnp.float32)
+    h1 = gru_recurrence(ff, uzr, uh, mask, act, True)
+    h2 = gru_recurrence_scan(ff, uzr, uh, mask, act)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5,
+                               atol=1e-5)
+    g1 = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(gru_recurrence(*a, act, True))),
+        argnums=(0, 1, 2, 3),
+    )(ff, uzr, uh, mask)
+    g2 = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(gru_recurrence_scan(*a, act))),
+        argnums=(0, 1, 2, 3),
+    )(ff, uzr, uh, mask)
+    for a_, b_, name in zip(g1, g2, ("dff", "duzr", "duh", "dmask")):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=3e-4,
+                                   atol=3e-5, err_msg=name)
+
+
+def test_gru_model_pallas_impl_matches_scan():
+    from tpukaldi.models import GRU
+
+    base = {
+        "gru_lay": "8", "gru_drop": "0.0",
+        "gru_use_laynorm_inp": "False", "gru_use_batchnorm_inp": "False",
+        "gru_use_laynorm": "False", "gru_use_batchnorm": "False",
+        "gru_bidir": "True", "gru_act": "relu", "gru_orthinit": "True",
+    }
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((T, B, 6)), jnp.float32)
+    m_scan = GRU(options={**base, "gru_impl": "scan"}, inp_dim=6)
+    v = m_scan.init({"params": jax.random.key(0)}, x, train=False)
+    out_scan = m_scan.apply(v, x, train=False)
+    m_pallas = GRU(options={**base, "gru_impl": "pallas"}, inp_dim=6)
+    out_pallas = m_pallas.apply(v, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_scan), rtol=1e-5, atol=1e-5
+    )

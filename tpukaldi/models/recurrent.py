@@ -280,6 +280,19 @@ class GRU(_RecurrentBase):
     FF_GATES = ("h", "z", "r")
     REC_GATES = ("z", "r")
 
+    def maybe_fused(self, i, ff, u, extras, act_name, use_ln, drop_mask, train):
+        """Fused Pallas GRU (gru_impl = auto|pallas|scan)."""
+        impl = self.options.get("gru_impl", "auto")
+        if impl == "scan" or act_name not in ("relu", "tanh") or use_ln:
+            return None
+        on_tpu = jax.default_backend() == "tpu"
+        if impl == "auto" and not on_tpu:
+            return None
+        from ..kernels.gru import gru_recurrence
+
+        mask = jnp.broadcast_to(drop_mask, (ff.shape[1], ff.shape[2] // 3))
+        return gru_recurrence(ff, u, extras["uh"], mask, act_name, not on_tpu)
+
     def extra_params(self, i, hidden, orthinit):
         return {
             "uh": self.param(
