@@ -116,6 +116,8 @@ def _run_experiment(
     use_mesh: bool = False,
 ) -> ExperimentConfig:
     exp = load_config(cfg_file, overrides=overrides)
+    # reference multi_gpu flag (DataParallel) maps to the data-parallel mesh
+    use_mesh = use_mesh or exp.multi_gpu
     out_folder = exp.out_folder
     os.makedirs(os.path.join(out_folder, "exp_files"), exist_ok=True)
     # snapshot the resolved config (reference run_exp.py:122-124)

@@ -12,6 +12,7 @@ ledger boundaries (write every chunk; read only on cold resume).
 from __future__ import annotations
 
 import os
+import sys
 import time
 from dataclasses import dataclass
 from typing import Dict, Optional
@@ -194,6 +195,14 @@ class ChunkRuntime:
         train = task.phase == "train"
         loss_sum, err_sum, n, frames = 0.0, 0.0, 0, 0
         rng = jax.random.key(task.seed)
+        n_batches = max(
+            (chunk.n_sentences if self.seq_model else chunk.n_frames)
+            // max(batch_size, 1),
+            1,
+        )
+        show_progress = sys.stdout.isatty() and os.environ.get(
+            "TPUKALDI_PROGRESS", "1"
+        ) != "0"
         for batch in self._batches(chunk, batch_size, train, task.seed):
             feats = jax.numpy.asarray(batch.feats)
             labs = jax.numpy.asarray(batch.labs)
@@ -216,6 +225,15 @@ class ChunkRuntime:
             loss_sum += float(loss)
             err_sum += float(err)
             n += 1
+            if show_progress:
+                # reference-style progress line (utils.py:2479-2492)
+                label = "Training" if train else "Validating"
+                status = f"{label} | (Batch {n}/{n_batches})"
+                if train:
+                    status += f" | L:{loss_sum / n:.3f}"
+                print(f"\r{status}", end="", flush=True)
+        if show_progress and n:
+            print()
         if train:
             ckpt.save_all(
                 task.ckpt_files, self.params, self.opt_states, self.batch_stats
