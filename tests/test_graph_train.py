@@ -180,3 +180,63 @@ def test_bucketed_bidir_forward_exact():
     np.testing.assert_allclose(
         np.asarray(out_padded)[:T], np.asarray(out_unpadded), rtol=1e-5, atol=1e-6
     )
+
+
+def test_grad_clip_option(setup):
+    """arch_grad_clip bounds the global grad norm (update magnitude)."""
+    import copy
+    import dataclasses
+
+    exp, chunk, *_ = setup
+    graph = build_graph(exp, chunk.fea_layout, chunk.lab_layout)
+    batch = next(iter_frame_batches(chunk, 64))
+    params, stats = init_graph(graph, jax.random.key(0), jnp.asarray(batch.feats))
+
+    def step_delta(clip):
+        archs = {}
+        for n in graph.arch_names:
+            a = exp.archs[n]
+            opts = dict(a.options)
+            if clip:
+                opts["arch_grad_clip"] = str(clip)
+            archs[n] = dataclasses.replace(a, options=opts)
+        optimizers = make_all_optimizers(archs)
+        opt_states = {n: optimizers[n].init(params[n]) for n in graph.arch_names}
+        step = make_train_step(graph, optimizers, donate=False)
+        new_params, *_rest = step(params, stats, opt_states,
+                                  jnp.asarray(batch.feats),
+                                  jnp.asarray(batch.labs), jax.random.key(0))
+        total = 0.0
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(new_params)):
+            total += float(jnp.sum((jnp.asarray(a) - jnp.asarray(b)) ** 2))
+        return total ** 0.5
+
+    d_clip = step_delta(1e-4)
+    d_free = step_delta(None)
+    assert d_clip < d_free * 0.5
+
+
+def test_production_missing_ckpt_errors(tmp_path):
+    import re
+
+    import pytest as _pytest
+
+    from tpukaldi.data.synth import generate_corpus, write_cfg
+    from tpukaldi.tools.run_exp import run_experiment
+
+    corpus = generate_corpus(str(tmp_path / "c"), n_utts=6, seed=1)
+    cfg = write_cfg(corpus, str(tmp_path / "e"), arch="MLP", n_epochs=1,
+                    n_chunks=1)
+    text = open(cfg).read()
+    # make the forward dataset label-free -> production, with no training run
+    text = re.sub(
+        r"lab = lab_name=lab_cd\n(\tlab_\w+=.*\n)+\nn_chunks = 1\n\n\[data_use\]",
+        "lab = lab_name=none\n\nn_chunks = 1\n\n[data_use]",
+        text, count=1,
+    )
+    assert "lab_name=none" in text
+    prod = tmp_path / "prod.cfg"
+    prod.write_text(text)
+    with _pytest.raises(FileNotFoundError, match="final checkpoints"):
+        run_experiment(str(prod))

@@ -377,6 +377,9 @@ def _parse_arch(config, section: str, n_epochs: int) -> ArchSpec:
     opt_options: Dict[str, Any] = {}
     drop_field = None
     for key, val in sec.items():
+        if key == "arch_grad_clip":  # optional extension, consumed by optax
+            options[key] = val
+            continue
         if key.startswith("arch_"):
             continue
         if key.lower() in {k.lower() for k in opt_proto}:

@@ -295,6 +295,18 @@ def _run_experiment(
                 _sh.copyfile(src, final)
 
     # ---------------- forward ----------------
+    # production mode consumes final checkpoints from a previous training
+    # run (reference run_exp.py:168-174) — fail loudly if they are missing
+    # instead of forwarding with random parameters
+    if exp.production:
+        missing = [p for p in plan.final_ckpts.values()
+                   if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                "production mode needs trained final checkpoints; missing: "
+                + ", ".join(missing)
+            )
+
     # resolve normalize_with_counts_from (native analyze-counts when
     # counts name a label with lab_count_file=auto)
     from ..forward.counts import resolve_count_files

@@ -32,6 +32,12 @@ def make_optimizer(arch: ArchSpec) -> optax.GradientTransformation:
     o = arch.optimizer.options
     wd = float(o.get("opt_weight_decay", 0.0))
     parts = []
+    # optional global-norm gradient clipping (the reference carries this
+    # commented out at core.py:636-638 with threshold 0.1; opt-in here via
+    # the arch_grad_clip extension field)
+    clip = float(arch.options.get("arch_grad_clip", 0.0) or 0.0)
+    if clip > 0.0:
+        parts.append(optax.clip_by_global_norm(clip))
     if wd > 0.0:
         parts.append(optax.add_decayed_weights(wd))  # torch coupled L2
     if kind == "sgd":
