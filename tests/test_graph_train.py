@@ -184,7 +184,6 @@ def test_bucketed_bidir_forward_exact():
 
 def test_grad_clip_option(setup):
     """arch_grad_clip bounds the global grad norm (update magnitude)."""
-    import copy
     import dataclasses
 
     exp, chunk, *_ = setup

@@ -125,8 +125,6 @@ class _RecurrentBase(nn.Module):
             x = x.reshape(T0, B0, D0)
 
         n_ff = len(self.FF_GATES)
-        n_rec = len(self.REC_GATES)
-        current = self.inp_dim
 
         for i, hidden in enumerate(lay):
             T, B, D = x.shape
@@ -184,7 +182,6 @@ class _RecurrentBase(nn.Module):
                     h_b = _reverse_time(h[:, Bp // 2 :], lengths)
                     h = jnp.concatenate([h_f, h_b], axis=2)
                 x = h
-                current = h.shape[-1]
                 continue
 
             act = act_fun(acts[i])
@@ -226,7 +223,6 @@ class _RecurrentBase(nn.Module):
                 h_b = _reverse_time(h[:, Bp // 2 :], lengths)
                 h = jnp.concatenate([h_f, h_b], axis=2)
             x = h
-            current = h.shape[-1]
         return x
 
     def replace_output(self, state, out):
