@@ -103,6 +103,17 @@ class _RecurrentBase(nn.Module):
         (Pallas) recurrence kernel, or None to use the generic scan."""
         return None
 
+    @staticmethod
+    def _kernel_fits_vmem(ff, u, time_block=16, budget=12 * 2**20):
+        """The fused kernels keep U + pipelined ff/out blocks resident in
+        VMEM (~16 MB/core); fall back to lax.scan when they would not fit
+        (e.g. H=1024 LSTM has a 16.8 MB U alone)."""
+        B = ff.shape[1]
+        H = u.shape[0]
+        u_bytes = u.size * 4
+        blk = time_block * B * (ff.shape[2] + H) * 4 * 2  # double-buffered
+        return u_bytes + blk + B * H * 4 * 3 < budget
+
     @nn.compact
     def __call__(self, x, train: bool = False, lengths=None):
         o = self.options
@@ -249,6 +260,8 @@ class liGRU(_RecurrentBase):
         impl = self.options.get("ligru_impl", "auto")
         if impl == "scan" or act_name != "relu" or use_ln:
             return None
+        if not self._kernel_fits_vmem(ff, u):
+            return None
         on_tpu = jax.default_backend() == "tpu"
         if impl == "auto" and not on_tpu:
             return None
@@ -280,6 +293,8 @@ class GRU(_RecurrentBase):
         """Fused Pallas GRU (gru_impl = auto|pallas|scan)."""
         impl = self.options.get("gru_impl", "auto")
         if impl == "scan" or act_name not in ("relu", "tanh") or use_ln:
+            return None
+        if not self._kernel_fits_vmem(ff, u):
             return None
         on_tpu = jax.default_backend() == "tpu"
         if impl == "auto" and not on_tpu:
@@ -366,6 +381,8 @@ class LSTM(_RecurrentBase):
         (lstm_impl = auto|pallas|scan, like the liGRU)."""
         impl = self.options.get("lstm_impl", "auto")
         if impl == "scan" or act_name != "tanh" or use_ln:
+            return None
+        if not self._kernel_fits_vmem(ff, u):
             return None
         on_tpu = jax.default_backend() == "tpu"
         if impl == "auto" and not on_tpu:

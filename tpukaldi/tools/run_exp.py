@@ -295,6 +295,14 @@ def _run_experiment(
                 _sh.copyfile(src, final)
 
     # ---------------- forward ----------------
+    # multi-host: partition the embarrassingly parallel forward stage
+    # (TPUKALDI_HOST_ID / TPUKALDI_NUM_HOSTS; the .info ledger makes the
+    # union complete and resumable — SURVEY.md §2.4)
+    n_hosts = int(os.environ.get("TPUKALDI_NUM_HOSTS", "1"))
+    if n_hosts > 1:
+        host_id = int(os.environ.get("TPUKALDI_HOST_ID", "0"))
+        plan.forward_tasks = plan.shard_forward_tasks(host_id, n_hosts)
+
     # production mode consumes final checkpoints from a previous training
     # run (reference run_exp.py:168-174) — fail loudly if they are missing
     # instead of forwarding with random parameters
