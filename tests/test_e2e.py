@@ -100,3 +100,27 @@ def test_chunk_cfgs_materialized(corpus, tmp_path_factory):
     train_cfgs = [f for f in chunk_cfgs if f.startswith("train")]
     cp1.read(os.path.join(ef, train_cfgs[1]))
     assert "_ck0_MLP_layers1.ckpt" in cp1["architecture1"]["arch_pretrain_file"]
+
+
+@pytest.mark.parametrize("arch,hidden", [("QLSTM", 16), ("SRU", 16),
+                                         ("GRU", 12), ("LSTM", 12)])
+def test_other_arch_experiments(arch, hidden, corpus, tmp_path_factory):
+    """Full driver e2e for the remaining sequential families."""
+    out = str(tmp_path_factory.mktemp(f"exp_{arch}"))
+    if arch == "QLSTM":
+        # quaternion dims must be multiples of 4: 12-dim feats, cw 0
+        corpus = generate_corpus(os.path.join(out, "c"), n_utts=10,
+                                 feat_dim=12, seed=5, noise=0.4)
+        cfg = write_cfg(corpus, out, arch=arch, hidden=hidden, n_epochs=1,
+                        n_chunks=1, batch_size=2, lr=0.1, cw=0)
+    else:
+        cfg = write_cfg(corpus, out, arch=arch, hidden=hidden, n_epochs=1,
+                        n_chunks=1, batch_size=2, lr=0.1)
+    run_experiment(cfg)
+    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    assert len(lines) == 1
+    ef = os.path.join(out, "exp_files")
+    arks = [f for f in os.listdir(ef) if f.endswith("_to_decode.ark")]
+    posts = dict(read_mat_ark(os.path.join(ef, arks[0])))
+    assert all(m.shape[1] == 10 and np.isfinite(m).all()
+               for m in posts.values())

@@ -273,11 +273,50 @@ def write_cfg(
             "\terr_final=cost_err(out_dnn1,lab_cd)"
         )
         forward_out = "out_dnn1"
+    elif arch == "QLSTM":
+        arch_options = (
+            f"lstm_lay = {hidden}\nlstm_drop = 0.1\nlstm_bidir = True\n"
+            "lstm_act = tanh\nquaternion_init = quaternion\nautograd = True"
+        )
+        arch_class, arch_proto, seq_model, arch_name = (
+            "QLSTM", "QLSTM.proto", "True", "QLSTM_layers")
+        extra_sections = MLP_HEAD_SECTION.format(lr=lr)
+        model_lines = (
+            f"out_dnn1=compute({arch_name},mfcc)\n"
+            "\tout_dnn2=compute(MLP_softmax,out_dnn1)\n"
+            "\tloss_final=cost_nll(out_dnn2,lab_cd)\n"
+            "\terr_final=cost_err(out_dnn2,lab_cd)"
+        )
+        forward_out = "out_dnn2"
+    elif arch == "SRU":
+        arch_options = (
+            f"sru_hidden_size = {hidden}\nsru_num_layers = 2\n"
+            "sru_dropout = 0.1\nsru_rnn_dropout = 0.0\nsru_use_tanh = True\n"
+            "sru_use_relu = False\nsru_use_selu = False\n"
+            "sru_weight_norm = False\nsru_layer_norm = False\n"
+            "sru_bidirectional = True\nsru_is_input_normalized = False\n"
+            "sru_has_skip_term = True\nsru_rescale = True\n"
+            "sru_highway_bias = -1.0\nsru_n_proj = 0"
+        )
+        arch_class, arch_proto, seq_model, arch_name = (
+            "SRU", "SRU.proto", "True", "SRU_layers")
+        extra_sections = MLP_HEAD_SECTION.format(lr=lr)
+        model_lines = (
+            f"out_dnn1=compute({arch_name},mfcc)\n"
+            "\tout_dnn2=compute(MLP_softmax,out_dnn1)\n"
+            "\tloss_final=cost_nll(out_dnn2,lab_cd)\n"
+            "\terr_final=cost_err(out_dnn2,lab_cd)"
+        )
+        forward_out = "out_dnn2"
     elif arch in ("liGRU", "GRU", "LSTM", "RNN", "minimalGRU"):
         prefix = arch.lower()
         arch_options = LIGRU_OPTIONS.format(hidden=hidden).replace(
             "ligru_", f"{prefix}_"
         )
+        if arch != "liGRU":  # relu candidates explode in LSTM/GRU cells
+            arch_options = arch_options.replace(
+                f"{prefix}_act = relu", f"{prefix}_act = tanh"
+            )
         arch_class, arch_proto, seq_model, arch_name = (
             arch, f"{arch}.proto", "True", f"{arch}_layers")
         extra_sections = MLP_HEAD_SECTION.format(lr=lr)
