@@ -308,6 +308,26 @@ def write_cfg(
             "\terr_final=cost_err(out_dnn2,lab_cd)"
         )
         forward_out = "out_dnn2"
+    elif arch == "SincNet":
+        # raw-window front-end (windows of `inp` samples) + MLP softmax head
+        arch_options = (
+            "sinc_n_filt = 16\nsinc_len_filt = 65\nsinc_max_pool_len = 16\n"
+            "sinc_sample_rate = 16000\nsinc_min_low_hz = 50\n"
+            "sinc_min_band_hz = 50\nsinc_use_laynorm_inp = False\n"
+            "sinc_use_batchnorm_inp = False\nsinc_use_laynorm = True\n"
+            "sinc_use_batchnorm = False\nsinc_act = leaky_relu\n"
+            "sinc_drop = 0.0"
+        )
+        arch_class, arch_proto, seq_model, arch_name = (
+            "SincNet", "SincNet.proto", "False", "SincNet_layers")
+        extra_sections = MLP_HEAD_SECTION.format(lr=lr)
+        model_lines = (
+            f"out_cnn=compute({arch_name},mfcc)\n"
+            "\tout_dnn2=compute(MLP_softmax,out_cnn)\n"
+            "\tloss_final=cost_nll(out_dnn2,lab_cd)\n"
+            "\terr_final=cost_err(out_dnn2,lab_cd)"
+        )
+        forward_out = "out_dnn2"
     elif arch in ("liGRU", "GRU", "LSTM", "RNN", "minimalGRU"):
         prefix = arch.lower()
         arch_options = LIGRU_OPTIONS.format(hidden=hidden).replace(
