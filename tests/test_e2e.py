@@ -124,3 +124,33 @@ def test_other_arch_experiments(arch, hidden, corpus, tmp_path_factory):
     posts = dict(read_mat_ark(os.path.join(ef, arks[0])))
     assert all(m.shape[1] == 10 and np.isfinite(m).all()
                for m in posts.values())
+
+
+def test_fusion_rnn_experiment(tmp_path_factory):
+    """6-mic fusionRNN through the full driver (DIRHA 6ch pattern): the
+    corpus stacks 6 noisy copies of the clean features as 'microphones'."""
+    import dataclasses
+
+    from tpukaldi.io import ArkScpWriter, read_mat_scp
+
+    root = tmp_path_factory.mktemp("fus")
+    corpus = generate_corpus(str(root / "c"), n_utts=8, seed=6, noise=0.3)
+    rng = np.random.default_rng(0)
+    for split, scp in corpus.feats_scp.items():
+        d = os.path.dirname(scp)
+        with ArkScpWriter(os.path.join(d, "mc.ark"),
+                          os.path.join(d, "mc.scp")) as w:
+            for key, mat in read_mat_scp(scp):
+                mics = [mat + 0.2 * rng.standard_normal(mat.shape)
+                        for _ in range(6)]
+                w.write(key, np.concatenate(mics, axis=1).astype(np.float32))
+        corpus.feats_scp[split] = os.path.join(d, "mc.scp")
+    out = str(tmp_path_factory.mktemp("fus_exp"))
+    cfg = write_cfg(corpus, out, arch="fusionRNN", hidden=12, n_epochs=1,
+                    n_chunks=1, batch_size=2, lr=0.002, cw=0)
+    run_experiment(cfg)
+    ef = os.path.join(out, "exp_files")
+    arks = [f for f in os.listdir(ef) if f.endswith("_to_decode.ark")]
+    posts = dict(read_mat_ark(os.path.join(ef, arks[0])))
+    assert all(m.shape[1] == 10 and np.isfinite(m).all()
+               for m in posts.values())

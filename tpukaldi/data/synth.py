@@ -328,6 +328,26 @@ def write_cfg(
             "\terr_final=cost_err(out_dnn2,lab_cd)"
         )
         forward_out = "out_dnn2"
+    elif arch == "fusionRNN":
+        # multi-microphone: input = n_mic x per-mic features concatenated
+        arch_options = (
+            f"fusionRNN_lay = {hidden},{hidden}\n"
+            "fusionRNN_drop = 0.2,0.2\nfusionRNN_bidir = True\n"
+            "fusionRNN_act = prelu,prelu\nfusionRNN_do_fusion = True\n"
+            f"fusionRNN_fusion_layer_size = {hidden * 6}\n"
+            "fusionRNN_number_of_mic = 6\nfusionRNN_fusion_act = prelu\n"
+            "fusionRNN_fusion_reduce = sum"
+        )
+        arch_class, arch_proto, seq_model, arch_name = (
+            "fusionRNN_jit", "fusionRNN.proto", "True", "fusionRNN_layers")
+        extra_sections = MLP_HEAD_SECTION.format(lr=lr)
+        model_lines = (
+            f"out_dnn1=compute({arch_name},mfcc)\n"
+            "\tout_dnn2=compute(MLP_softmax,out_dnn1)\n"
+            "\tloss_final=cost_nll(out_dnn2,lab_cd)\n"
+            "\terr_final=cost_err(out_dnn2,lab_cd)"
+        )
+        forward_out = "out_dnn2"
     elif arch in ("liGRU", "GRU", "LSTM", "RNN", "minimalGRU"):
         prefix = arch.lower()
         arch_options = LIGRU_OPTIONS.format(hidden=hidden).replace(
