@@ -106,6 +106,22 @@ class BatchesSpec:
             cur = min(cur, cap)
         return cur
 
+    def msl_for_phase(self, phase: str, epoch: int = 0) -> Any:
+        """Phase-appropriate max_seq_length.  When train uses the raw-wave
+        6-tuple (different fea/lab rates), valid inherits it and forward
+        keeps the rate info with splitting disabled (size -1), so the
+        sample<->frame window relation survives all phases."""
+        train_msl = self.max_seq_length_train[min(epoch, len(self.max_seq_length_train) - 1)]
+        rates = isinstance(train_msl, (list, tuple))
+        if phase == "train":
+            return self.seq_length_for_epoch(epoch)
+        if phase == "valid":
+            return train_msl if rates else self.max_seq_length_valid
+        # forward: whole utterances (data_io.py:543-544)
+        if rates:
+            return [-1, -1, -1, -1, train_msl[4], train_msl[5]]
+        return -1
+
 
 @dataclass
 class ForwardSpec:

@@ -114,7 +114,8 @@ def init_graph(
             variables = module.init(
                 {"params": key_p, "dropout": key_d}, inp, train=False
             )
-            params[s.arg1] = variables["params"]
+            # param-free modules (e.g. logMelFb) init to an empty tree
+            params[s.arg1] = variables.get("params", {})
             stats[s.arg1] = variables.get("batch_stats", {})
         module = graph.modules[s.arg1]
         inp = _adapt_for_arch(

@@ -161,11 +161,7 @@ def _run_experiment(
     # forward stage).  msl/batch params are static per (phase, epoch), so
     # the full loader schedule is known upfront.
     def _task_msl(task):
-        if task.phase == "train":
-            return exp.batches.seq_length_for_epoch(task.epoch)
-        if task.phase == "valid":
-            return exp.batches.max_seq_length_valid
-        return -1
+        return exp.batches.msl_for_phase(task.phase, task.epoch)
 
     schedule = [t for ep_plan in plan.epochs for t in ep_plan.tasks]
     schedule += plan.forward_tasks
@@ -247,7 +243,7 @@ def _run_experiment(
             else:
                 epoch_lr = {a: lr[a][ep] for a in lr}
                 bs = batch_size if task.phase == "train" else exp.batches.batch_size_valid
-                m = msl if task.phase == "train" else exp.batches.max_seq_length_valid
+                m = _task_msl(task)
                 task.write_lst_files()
                 write_chunk_cfg(exp, task, lr=epoch_lr, batch_size=bs,
                                 max_seq_length=m)

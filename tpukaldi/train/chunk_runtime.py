@@ -101,8 +101,11 @@ class ChunkRuntime:
         )
         task.write_lst_files()
         # forward processes whole utterances (max_seq_length=-1,
-        # data_io.py:543-544)
-        msl = -1 if task.phase == "forward" else max_seq_length
+        # data_io.py:543-544); rate tuples keep their window info
+        if task.phase == "forward":
+            msl = self.exp.batches.msl_for_phase("forward", task.epoch)
+        else:
+            msl = max_seq_length
         shuffle = task.phase == "train" and not self.seq_model
         return load_chunk(
             ds,
