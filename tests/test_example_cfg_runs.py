@@ -1,0 +1,120 @@
+"""The shipped example cfg (cfg/TIMIT/MLP_mfcc_basic.cfg) runs end to end:
+a synthetic Kaldi-layout tree ($KALDI_TIMIT substitution) provides
+feats.scp/utt2spk/cmvn arks/alignments, the cfg's real fea_opts pipeline
+(apply-cmvn | add-deltas) executes natively, and the experiment trains and
+emits posteriors."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from tpukaldi.io import (
+    ArkScpWriter,
+    compute_cmvn_stats,
+    save_counts,
+    write_mat,
+    write_vec_int,
+)
+from tpukaldi.tools.run_exp import run_experiment
+
+N_CLASSES = 10
+DIM = 13
+
+
+@pytest.fixture(scope="module")
+def kaldi_tree(tmp_path_factory):
+    """Minimal egs/timit/s5-shaped tree matching the example cfg's paths."""
+    root = tmp_path_factory.mktemp("timit")
+    rng = np.random.default_rng(13)
+    means = rng.standard_normal((N_CLASSES, DIM)) * 2.0
+    counts = np.zeros(N_CLASSES)
+    (root / "mfcc").mkdir()
+    (root / "exp" / "tri3" / "graph").mkdir(parents=True)
+    for split, n, ali in (
+        ("train", 10, "dnn4_pretrain-dbn_dnn_ali"),
+        ("dev", 4, "dnn4_pretrain-dbn_dnn_ali_dev"),
+        ("test", 4, "dnn4_pretrain-dbn_dnn_ali_test"),
+    ):
+        d = root / "data" / split
+        d.mkdir(parents=True)
+        alidir = root / "exp" / ali
+        alidir.mkdir(parents=True)
+        cmvn = {}
+        with ArkScpWriter(str(d / "feats.ark"), str(d / "feats.scp")) as w, \
+                open(d / "utt2spk", "w") as u2s, \
+                open(alidir / "labels.ark", "wb") as labf:
+            for i in range(n):
+                T = int(rng.integers(60, 150))
+                labels = np.repeat(
+                    rng.integers(0, N_CLASSES, T // 5 + 1), 5
+                )[:T]
+                fea = means[labels] + 0.5 * rng.standard_normal((T, DIM))
+                key = f"{split}spk{i % 2}_u{i:02d}"
+                spk = f"{split}spk{i % 2}"
+                w.write(key, fea.astype(np.float32))
+                u2s.write(f"{key} {spk}\n")
+                write_vec_int(labf, labels, key=key)
+                cmvn[spk] = cmvn.get(spk, 0) + compute_cmvn_stats(fea)
+                if split == "train":
+                    counts += np.bincount(labels, minlength=N_CLASSES)
+        with open(root / "mfcc" / f"cmvn_{split}.ark", "wb") as cf:
+            for spk, st in cmvn.items():
+                write_mat(cf, st, key=spk)
+    save_counts(np.maximum(counts, 1.0), str(root / "counts"))
+    return root
+
+
+def test_example_cfg_runs(kaldi_tree, tmp_path_factory):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    template = open(os.path.join(repo, "cfg", "TIMIT", "MLP_mfcc_basic.cfg")).read()
+    out = str(tmp_path_factory.mktemp("example_run"))
+    cfg_text = template.replace("$KALDI_TIMIT", str(kaldi_tree))
+    cfg_text = cfg_text.replace("out_folder = exp/TIMIT_MLP_mfcc_basic",
+                                f"out_folder = {out}")
+    # synthetic tree has pre-dumped labels, no final.mdl: give N_out directly
+    cfg_text = cfg_text.replace(
+        "lab_opts=ali-to-pdf",
+        f"lab_opts=ali-to-pdf\n\tlab_nout={N_CLASSES}",
+    )
+    # shrink the run: 2 epochs, 2 chunks, small layers
+    cfg_text = cfg_text.replace("n_epochs_tr = 24", "n_epochs_tr = 2")
+    cfg_text = cfg_text.replace("n_chunks = 5", "n_chunks = 2")
+    cfg_text = cfg_text.replace(
+        "dnn_lay = 1024,1024,1024,1024,N_out_lab_cd",
+        "dnn_lay = 64,64,N_out_lab_cd",
+    )
+    cfg_text = cfg_text.replace("dnn_drop = 0.15,0.15,0.15,0.15,0.0",
+                                "dnn_drop = 0.1,0.1,0.0")
+    cfg_text = cfg_text.replace(
+        "dnn_use_batchnorm = True,True,True,True,False",
+        "dnn_use_batchnorm = True,True,False",
+    )
+    cfg_text = cfg_text.replace(
+        "dnn_use_laynorm = False,False,False,False,False",
+        "dnn_use_laynorm = False,False,False",
+    )
+    cfg_text = cfg_text.replace("dnn_act = relu,relu,relu,relu,softmax",
+                                "dnn_act = relu,relu,softmax")
+    # decoding section points at kaldi scripts we don't ship; the bridge
+    # logs + skips when the script is absent — leave as-is
+    cfg_path = os.path.join(out, "run.cfg")
+    os.makedirs(out, exist_ok=True)
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
+
+    run_experiment(cfg_path)
+
+    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    assert len(lines) == 2
+    errs = [float(re.search(r"valid=\S+ loss=\S+ err=(\d+\.\d+)", l).group(1))
+            for l in lines]
+    assert errs[-1] < 0.35, errs  # separable task: should learn well
+    ef = os.path.join(out, "exp_files")
+    arks = [f for f in os.listdir(ef) if f.endswith("_to_decode.ark")]
+    assert arks
+    from tpukaldi.io import read_mat_ark
+
+    posts = dict(read_mat_ark(os.path.join(ef, arks[0])))
+    assert all(m.shape[1] == N_CLASSES for m in posts.values())

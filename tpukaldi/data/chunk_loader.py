@@ -168,6 +168,12 @@ def load_dataset_stream(
         labels = read_label_stream(lab.folder, lab.opts)
         # keep only utterances with both fea and lab (data_io.py:50-55)
         common = [k for k in feats if k in labels]
+        if not common:
+            raise ValueError(
+                f"no utterances shared between features ({fea.lst!r}) and "
+                f"labels ({lab.folder!r}) — check the lab_folder alignment "
+                f"directory for this dataset"
+            )
         feats = {k: feats[k] for k in common}
         labels = {k: labels[k] for k in common}
 

@@ -189,12 +189,18 @@ model = {joined}
 """
 
 
+TIMIT_ALI = {"train": "dnn4_pretrain-dbn_dnn_ali",
+             "dev": "dnn4_pretrain-dbn_dnn_ali_dev",
+             "test": "dnn4_pretrain-dbn_dnn_ali_test"}
+
+
 def timit_mlp_mfcc_basic(root="$KALDI_TIMIT"):
     cfg = HEADER.format(exp_name="TIMIT_MLP_mfcc_basic", n_epochs=24)
     for i, (name, split, nck) in enumerate(
         [("TIMIT_tr", "train", 5), ("TIMIT_dev", "dev", 1),
          ("TIMIT_test", "test", 1)], start=1):
-        cfg += dataset_block(i, name, root, split, "mfcc", "mfcc", 5, nck)
+        cfg += dataset_block(i, name, root, split, "mfcc", "mfcc", 5, nck,
+                             ali=TIMIT_ALI[split])
     cfg += DATA_USE.format(tr="TIMIT_tr", dev="TIMIT_dev", te="TIMIT_test")
     cfg += BATCHES.format(bs=128, msl=1000, curr="False", bs_valid=128)
     cfg += mlp_arch(
@@ -221,6 +227,7 @@ def timit_ligru_fmllr(root="$KALDI_TIMIT"):
          ("TIMIT_test", "test", 1)], start=1):
         cfg += dataset_block(
             i, name, root, split, "fmllr", "fmllr", 0, nck, mono=True,
+            ali=TIMIT_ALI[split],
             fea_opts=(
                 f"apply-cmvn --utt2spk=ark:{root}/data/{split}/utt2spk "
                 f"ark:{root}/fmllr/cmvn_{split}.ark ark:- ark:- | "
@@ -260,7 +267,8 @@ def timit_recurrent(cls, prefix, fea="fbank"):
     for i, (name, split, nck) in enumerate(
         [("TIMIT_tr", "train", 5), ("TIMIT_dev", "dev", 1),
          ("TIMIT_test", "test", 1)], start=1):
-        cfg += dataset_block(i, name, "$KALDI_TIMIT", split, fea, fea, 0, nck)
+        cfg += dataset_block(i, name, "$KALDI_TIMIT", split, fea, fea, 0,
+                             nck, ali=TIMIT_ALI[split])
     cfg += DATA_USE.format(tr="TIMIT_tr", dev="TIMIT_dev", te="TIMIT_test")
     cfg += BATCHES.format(bs=8, msl=1000, curr="True", bs_valid=8)
     cfg += recurrent_arch(
@@ -288,7 +296,7 @@ def timit_sincnet_raw(root="$KALDI_TIMIT"):
          ("TIMIT_test", "test", 1)], start=1):
         cfg += dataset_block(
             i, name, root, split, "raw", "raw", 0, nck,
-            fea_opts="copy-feats ark:- ark:- |",
+            fea_opts="copy-feats ark:- ark:- |", ali=TIMIT_ALI[split],
         )
     cfg = cfg.replace("data/train/feats.scp", "data/raw_200ms/train/feats_raw.scp")
     cfg = cfg.replace("data/dev/feats.scp", "data/raw_200ms/dev/feats_raw.scp")
