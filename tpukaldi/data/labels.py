@@ -23,7 +23,11 @@ import numpy as np
 
 from ..io import kaldi_io as kio
 
-PREDUMPED_PATTERNS = ("labels.ark", "lab.ark", "*.pdf.ark", "*.lab.ark")
+# pre-dumped label arks, resolved by lab_opts so pdf and phone streams
+# sharing one alignment folder don't collide
+PREDUMPED_PDF = ("labels.ark", "lab.ark", "*.pdf.ark", "*.lab.ark")
+PREDUMPED_PHONE = ("labels_phones.ark", "phones.ark", "*.phones.ark",
+                   "*.phone.ark")
 
 
 def read_label_stream(folder: str, opts: str) -> Dict[str, np.ndarray]:
@@ -31,13 +35,30 @@ def read_label_stream(folder: str, opts: str) -> Dict[str, np.ndarray]:
     if os.path.isfile(folder):
         return dict(kio.read_vec_int_ark(folder))
     if os.path.isdir(folder):
-        for pattern in PREDUMPED_PATTERNS:
-            hits = sorted(glob.glob(os.path.join(folder, pattern)))
-            if hits:
-                out: Dict[str, np.ndarray] = {}
-                for hit in hits:
-                    out.update(kio.read_vec_int_ark(hit))
-                return out
+        is_phone = "ali-to-phones" in (opts or "")
+
+        def _find(patterns):
+            for pattern in patterns:
+                hits = sorted(glob.glob(os.path.join(folder, pattern)))
+                if hits:
+                    out: Dict[str, np.ndarray] = {}
+                    for hit in hits:
+                        out.update(kio.read_vec_int_ark(hit))
+                    return out
+            return None
+
+        found = _find(PREDUMPED_PHONE if is_phone else PREDUMPED_PDF)
+        if found is not None:
+            return found
+        # raw alignments present: map them exactly per lab_opts
+        if glob.glob(os.path.join(folder, "ali*.gz")):
+            return _labels_via_kaldi(folder, opts)
+        if is_phone:
+            # dedicated phone dump absent; a generic dump in a
+            # phone-specific folder is taken as that stream's labels
+            found = _find(PREDUMPED_PDF)
+            if found is not None:
+                return found
         return _labels_via_kaldi(folder, opts)
     raise FileNotFoundError(f"label source {folder!r} does not exist")
 
