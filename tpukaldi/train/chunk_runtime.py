@@ -196,7 +196,8 @@ class ChunkRuntime:
                     self.opt_states[name] = set_lr(self.opt_states[name], lr)
 
         train = task.phase == "train"
-        loss_sum, err_sum, n, frames = 0.0, 0.0, 0, 0
+        n, frames = 0, 0
+        losses, errs = [], []  # device scalars; converted once at chunk end
         rng = jax.random.key(task.seed)
         n_batches = max(
             (chunk.n_sentences if self.seq_model else chunk.n_frames)
@@ -225,18 +226,24 @@ class ChunkRuntime:
                 loss, err = self._eval_step(
                     self.params, self.batch_stats, feats, labs
                 )
-            loss_sum += float(loss)
-            err_sum += float(err)
+            # keep loss/err as device scalars: a float() here would force a
+            # host sync every step and serialize dispatch latency; deferring
+            # lets XLA pipeline many steps in flight
+            losses.append(loss)
+            errs.append(err)
             n += 1
             if show_progress:
-                # reference-style progress line (utils.py:2479-2492)
+                # reference-style progress line (utils.py:2479-2492);
+                # interactive use accepts the sync cost of showing the loss
                 label = "Training" if train else "Validating"
                 status = f"{label} | (Batch {n}/{n_batches})"
                 if train:
-                    status += f" | L:{loss_sum / n:.3f}"
+                    status += f" | L:{float(loss):.3f}"
                 print(f"\r{status}", end="", flush=True)
         if show_progress and n:
             print()
+        loss_sum = float(np.sum(jax.device_get(losses))) if losses else 0.0
+        err_sum = float(np.sum(jax.device_get(errs))) if errs else 0.0
         if train:
             ckpt.save_all(
                 task.ckpt_files, self.params, self.opt_states, self.batch_stats
