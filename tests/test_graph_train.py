@@ -239,3 +239,44 @@ def test_production_missing_ckpt_errors(tmp_path):
     prod.write_text(text)
     with _pytest.raises(FileNotFoundError, match="final checkpoints"):
         run_experiment(str(prod))
+
+
+def test_multistep_matches_singles(setup):
+    """K fused steps == K individual steps (identical math, one dispatch)."""
+    from tpukaldi.train.step import make_train_multistep
+
+    exp, chunk, *_ = setup
+    graph = build_graph(exp, chunk.fea_layout, chunk.lab_layout)
+    batches = list(iter_frame_batches(chunk, 64))[:4]
+    feats0 = jnp.asarray(batches[0].feats)
+    params, stats = init_graph(graph, jax.random.key(0), feats0)
+    optimizers = make_all_optimizers({n: exp.archs[n] for n in graph.arch_names})
+
+    def fresh():
+        return (
+            jax.tree_util.tree_map(jnp.array, jax.device_get(params)),
+            jax.tree_util.tree_map(jnp.array, jax.device_get(stats)),
+            {n: optimizers[n].init(params[n]) for n in graph.arch_names},
+        )
+
+    rngs = jax.random.split(jax.random.key(3), 4)
+    # singles
+    p, s, o = fresh()
+    step = make_train_step(graph, optimizers, donate=False)
+    single_losses = []
+    for b, r in zip(batches, rngs):
+        p, s, o, loss, err = step(p, s, o, jnp.asarray(b.feats),
+                                  jnp.asarray(b.labs), r)
+        single_losses.append(float(loss))
+    p_single = jax.device_get(p)
+    # fused
+    p, s, o = fresh()
+    multi = make_train_multistep(graph, optimizers, donate=False)
+    feats_k = jnp.asarray(np.stack([b.feats for b in batches]))
+    labs_k = jnp.asarray(np.stack([b.labs for b in batches]))
+    p, s, o, losses_k, errs_k = multi(p, s, o, feats_k, labs_k, rngs)
+    np.testing.assert_allclose(np.asarray(losses_k), single_losses,
+                               rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_single),
+                    jax.tree_util.tree_leaves(jax.device_get(p))):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)

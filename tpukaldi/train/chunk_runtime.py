@@ -33,7 +33,8 @@ from ..graph.compiler import build_graph, init_graph
 from ..plan.planner import ChunkTask
 from . import checkpoint as ckpt
 from .optimizers import make_all_optimizers, set_lr
-from .step import make_eval_step, make_forward_step, make_train_step
+from .step import (make_eval_step, make_forward_step, make_train_step,
+                   make_train_multistep)
 
 
 @dataclass
@@ -136,6 +137,17 @@ class ChunkRuntime:
             self._train_step = make_train_step(
                 self.graph, self.optimizers, frozen, mesh=self.mesh
             )
+            # K sequential steps fused into one dispatch (amortizes launch
+            # latency); default on TPU only — extra compiles aren't worth it
+            # for CPU test runs
+            default_k = "8" if jax.default_backend() == "tpu" else "1"
+            self._multistep_k = int(
+                os.environ.get("TPUKALDI_MULTISTEP", default_k)
+            )
+            if self._multistep_k > 1:
+                self._train_multistep = make_train_multistep(
+                    self.graph, self.optimizers, frozen, mesh=self.mesh
+                )
             self._eval_step = make_eval_step(self.graph, mesh=self.mesh)
             self._forward_step = make_forward_step(self.graph)
 
@@ -199,6 +211,16 @@ class ChunkRuntime:
         n, frames = 0, 0
         losses, errs = [], []  # device scalars; converted once at chunk end
         rng = jax.random.key(task.seed)
+        all_batches = list(self._batches(chunk, batch_size, train, task.seed))
+        K = getattr(self, "_multistep_k", 1)
+
+        def _stackable(group):
+            return all(
+                b.feats.shape == group[0].feats.shape
+                and b.labs.shape == group[0].labs.shape
+                for b in group
+            )
+
         n_batches = max(
             (chunk.n_sentences if self.seq_model else chunk.n_frames)
             // max(batch_size, 1),
@@ -207,7 +229,38 @@ class ChunkRuntime:
         show_progress = sys.stdout.isatty() and os.environ.get(
             "TPUKALDI_PROGRESS", "1"
         ) != "0"
-        for batch in self._batches(chunk, batch_size, train, task.seed):
+        i = 0
+        while i < len(all_batches):
+            # fuse K consecutive same-shape train batches into one dispatch
+            if train and K > 1 and i + K <= len(all_batches) and _stackable(
+                all_batches[i : i + K]
+            ):
+                group = all_batches[i : i + K]
+                feats_k = jax.numpy.asarray(
+                    np.stack([b.feats for b in group])
+                )
+                labs_k = jax.numpy.asarray(np.stack([b.labs for b in group]))
+                rng, sub = jax.random.split(rng)
+                rngs_k = jax.random.split(sub, K)
+                (self.params, self.batch_stats, self.opt_states,
+                 loss_k, err_k) = self._train_multistep(
+                    self.params, self.batch_stats, self.opt_states,
+                    feats_k, labs_k, rngs_k,
+                )
+                losses.append(loss_k)
+                errs.append(err_k)
+                n += K
+                frames += feats_k.shape[0] * (
+                    feats_k.shape[1] * feats_k.shape[2]
+                    if feats_k.ndim == 4 else feats_k.shape[1]
+                )
+                i += K
+                if show_progress:
+                    print(f"\rTraining | (Batch {n}/{n_batches})",
+                          end="", flush=True)
+                continue
+            batch = all_batches[i]
+            i += 1
             feats = jax.numpy.asarray(batch.feats)
             labs = jax.numpy.asarray(batch.labs)
             frames += (
@@ -242,8 +295,8 @@ class ChunkRuntime:
                 print(f"\r{status}", end="", flush=True)
         if show_progress and n:
             print()
-        loss_sum = float(np.sum(jax.device_get(losses))) if losses else 0.0
-        err_sum = float(np.sum(jax.device_get(errs))) if errs else 0.0
+        loss_sum = sum(float(np.sum(x)) for x in jax.device_get(losses))
+        err_sum = sum(float(np.sum(x)) for x in jax.device_get(errs))
         if train:
             ckpt.save_all(
                 task.ckpt_files, self.params, self.opt_states, self.batch_stats

@@ -31,19 +31,7 @@ def _loss_fn(params, graph, batch_stats, feats, labs, rngs):
     return outs["loss_final"], (outs["err_final"], new_stats)
 
 
-def make_train_step(
-    graph: GraphSpec,
-    optimizers: Dict,
-    frozen: Optional[Dict[str, bool]] = None,
-    mesh: Optional[Mesh] = None,
-    donate: bool = True,
-):
-    """Returns jitted `step(params, batch_stats, opt_states, feats, labs,
-    rng) -> (params, batch_stats, opt_states, loss, err)`.
-
-    Sequential batches are (T, B, D): the batch axis B is sharded over the
-    mesh 'data' axis; frame batches (N, D) shard N.
-    """
+def _make_step_body(graph, optimizers, frozen, mesh):
     frozen = frozen or {}
 
     def step(params, batch_stats, opt_states, feats, labs, rng):
@@ -76,8 +64,58 @@ def make_train_step(
             )
         return new_params, new_stats, new_opt_states, loss, err
 
+    return step
+
+
+def make_train_step(
+    graph: GraphSpec,
+    optimizers: Dict,
+    frozen: Optional[Dict[str, bool]] = None,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Returns jitted `step(params, batch_stats, opt_states, feats, labs,
+    rng) -> (params, batch_stats, opt_states, loss, err)`.
+
+    Sequential batches are (T, B, D): the batch axis B is sharded over the
+    mesh 'data' axis; frame batches (N, D) shard N.
+    """
+    step = _make_step_body(graph, optimizers, frozen, mesh)
     donate_args = (0, 2) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
+
+
+def make_train_multistep(
+    graph: GraphSpec,
+    optimizers: Dict,
+    frozen: Optional[Dict[str, bool]] = None,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """K sequential optimizer steps fused into ONE jitted dispatch via
+    lax.scan over stacked same-shape batches — identical math to K calls of
+    make_train_step, but one launch (per-step dispatch latency amortized
+    K-fold; matters most when the host<->device link is slow).
+
+    Signature: multi(params, stats, opts, feats (K,...), labs (K,...),
+    rngs (K,)) -> (params, stats, opts, losses (K,), errs (K,))."""
+    body = _make_step_body(graph, optimizers, frozen, mesh)
+
+    def multi(params, batch_stats, opt_states, feats_k, labs_k, rngs_k):
+        def scan_body(carry, xs):
+            p, s, o = carry
+            f, l, r = xs
+            p, s, o, loss, err = body(p, s, o, f, l, r)
+            return (p, s, o), (loss, err)
+
+        (p, s, o), (losses, errs) = jax.lax.scan(
+            scan_body, (params, batch_stats, opt_states),
+            (feats_k, labs_k, rngs_k),
+        )
+        return p, s, o, losses, errs
+
+    donate_args = (0, 2) if donate else ()
+    return jax.jit(multi, donate_argnums=donate_args)
 
 
 def make_eval_step(graph: GraphSpec, mesh: Optional[Mesh] = None):
