@@ -12,6 +12,11 @@ here): the reference README's res.res trace gives ~87 s/epoch for the TIMIT
 Li-GRU is strictly slower per frame than the MLP on the same hardware
 (sequential recurrence), so using BASELINE_FPS = 12900 *understates* our
 speedup vs the true Li-GRU CUDA baseline.
+
+End-to-end context (see PARITY.md "Measured at full scale"): the complete
+driver — host pipeline, ledger, validation included — trains a TIMIT-scale
+epoch of this exact recipe in ~34 s on one tunneled v5e chip (2.6x the
+reference MLP epoch trace).
 """
 
 import json
