@@ -278,7 +278,9 @@ def _run_experiment(
         except Exception as e:
             _log(out_folder, f"[curves] skipped: {e}")
 
-    # final checkpoints (reference run_exp.py:412-414)
+    # final checkpoints (reference run_exp.py:412-414); the async
+    # checkpointer must finish before the files are promoted/copied
+    runtime.checkpointer.wait()
     if plan.epochs:
         last_train = [
             t for t in plan.epochs[-1].tasks if t.phase == "train"

@@ -12,10 +12,16 @@ batch_stats) and the caller re-injects the scheduled lr.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 from flax import serialization
+
+
+def jnp_copy(x):
+    return jnp.array(x, copy=True)
 
 
 def save_checkpoint(
@@ -73,6 +79,62 @@ def save_all(
             (opt_states or {}).get(arch),
             (batch_stats or {}).get(arch),
         )
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint writes with training: device->host copies start
+    asynchronously, then a worker thread serializes and writes while the
+    next chunk trains.  `wait()` joins the in-flight save (call before
+    reading the files or at shutdown)."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save_all_async(self, paths, params, opt_states=None, batch_stats=None):
+        self.wait()
+
+        # snapshot on device: the training step donates its param/opt-state
+        # buffers, so the worker must not read the live arrays — device
+        # copies are cheap and are never donated
+        def snap(x):
+            if hasattr(x, "copy_to_host_async"):
+                x = jnp_copy(x)
+                x.copy_to_host_async()  # start D2H in the background
+            return x
+
+        payload = {
+            "paths": dict(paths),
+            "params": jax.tree_util.tree_map(
+                snap, {a: params[a] for a in paths}
+            ),
+            "opt": jax.tree_util.tree_map(
+                snap, {a: (opt_states or {}).get(a) for a in paths}
+            ),
+            "stats": jax.tree_util.tree_map(
+                snap, {a: (batch_stats or {}).get(a) for a in paths}
+            ),
+        }
+
+        def work():
+            try:
+                save_all(
+                    payload["paths"], payload["params"], payload["opt"],
+                    payload["stats"],
+                )
+            except BaseException as e:
+                self._error = e
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+            if self._error is not None:
+                err, self._error = self._error, None
+                raise err
 
 
 def load_all(

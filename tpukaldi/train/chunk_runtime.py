@@ -32,6 +32,7 @@ from ..forward.posteriors import PosteriorWriter
 from ..graph.compiler import build_graph, init_graph
 from ..plan.planner import ChunkTask
 from . import checkpoint as ckpt
+from .checkpoint import AsyncCheckpointer
 from .optimizers import make_all_optimizers, set_lr
 from .step import (make_eval_step, make_forward_step, make_train_step,
                    make_train_multistep)
@@ -91,6 +92,7 @@ class ChunkRuntime:
         self._eval_step = None
         self._forward_step = None
         self.prefetcher = ChunkPrefetcher()
+        self.checkpointer = AsyncCheckpointer()
         self._loaded_from: Dict[str, str] = {}
 
     # ---------------- data ----------------
@@ -154,6 +156,7 @@ class ChunkRuntime:
     def restore_from(self, pretrain_files: Dict[str, str]) -> None:
         """Cold-resume path: load per-arch checkpoints when they exist and
         differ from what's already resident."""
+        self.checkpointer.wait()  # files must be complete before reading
         to_load = {
             a: p
             for a, p in pretrain_files.items()
@@ -298,7 +301,8 @@ class ChunkRuntime:
         loss_sum = sum(float(np.sum(x)) for x in jax.device_get(losses))
         err_sum = sum(float(np.sum(x)) for x in jax.device_get(errs))
         if train:
-            ckpt.save_all(
+            # async: serialize+write overlaps the next chunk's training
+            self.checkpointer.save_all_async(
                 task.ckpt_files, self.params, self.opt_states, self.batch_stats
             )
             self.mark_saved(task.ckpt_files)
