@@ -103,3 +103,22 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (200 * 8, 1944)
     mod.dryrun_multichip(8)
+
+
+def test_multistep_with_mesh(tmp_path_factory, monkeypatch):
+    """Fused K-step dispatch composes with data-parallel mesh sharding."""
+    monkeypatch.setenv("TPUKALDI_MULTISTEP", "2")
+    from tpukaldi.tools.run_exp import run_experiment
+
+    root = tmp_path_factory.mktemp("msmesh")
+    corpus = generate_corpus(str(root / "c"), n_utts=16, seed=23, noise=0.4)
+    out = str(root / "e")
+    cfg = write_cfg(corpus, out, arch="MLP", n_epochs=1, n_chunks=1,
+                    batch_size=16, lr=0.2)
+    run_experiment(cfg, use_mesh=True)
+    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    assert len(lines) == 1
+    import re
+
+    err = float(re.search(r"valid=\S+ loss=\S+ err=(\d+\.\d+)", lines[0]).group(1))
+    assert err < 0.5
