@@ -200,3 +200,15 @@ def test_cm3_roundtrip_decode():
     out = dict(kio.read_mat_ark(io.BytesIO(buf)))["k"]
     expected = min_v + rng_v / 255.0 * vals.astype(np.float64)
     np.testing.assert_allclose(out, expected.reshape(rows, cols), rtol=1e-5)
+
+
+def test_compressed_writer_roundtrip():
+    rng = np.random.default_rng(5)
+    mat = (rng.standard_normal((20, 13)) * 4).astype(np.float32)
+    buf = io.BytesIO()
+    kio.write_mat_compressed(buf, mat, key="cm")
+    buf.seek(0)
+    out = dict(kio.read_mat_ark(buf))["cm"]
+    # 16-bit quantization over the value range
+    span = mat.max() - mat.min()
+    np.testing.assert_allclose(out, mat, atol=span / 65000)

@@ -233,6 +233,26 @@ def write_mat(fd: BinaryIO, mat: np.ndarray, key: str = "") -> None:
     fd.write(payload.tobytes())
 
 
+def write_mat_compressed(fd: BinaryIO, mat: np.ndarray, key: str = "") -> None:
+    """Write a Kaldi CompressedMatrix in format 2 ("CM2 ": uint16/entry,
+    row-major) — the simplest of the three formats; Kaldi reads it
+    transparently wherever a matrix is expected.  ~2x smaller than FM with
+    ~1e-4 relative quantization error."""
+    if mat.ndim != 2:
+        raise ValueError("write_mat_compressed expects a 2-D array")
+    m = np.asarray(mat, dtype=np.float64)
+    min_v = float(m.min()) if m.size else 0.0
+    max_v = float(m.max()) if m.size else 0.0
+    rng = max(max_v - min_v, 1e-10)
+    q = np.round((m - min_v) / rng * 65535.0).astype("<u2")
+    if key:
+        fd.write(key.encode("latin1") + b" ")
+    fd.write(BINARY_FLAG + b"CM2 ")
+    fd.write(struct.pack("<ff", np.float32(min_v), np.float32(rng)))
+    fd.write(struct.pack("<ii", m.shape[0], m.shape[1]))
+    fd.write(q.tobytes())
+
+
 # ---------------------------------------------------------------------------
 # float vectors (incl. RIFF wav payloads)
 # ---------------------------------------------------------------------------
