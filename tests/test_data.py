@@ -178,3 +178,27 @@ def test_forward_task_host_sharding(exp):
     all_ids = [id(t) for s in shards for t in s]
     assert sorted(all_ids) == sorted(id(t) for t in plan.forward_tasks)
     assert len(set(all_ids)) == len(all_ids)
+
+
+def test_forward_batches_exact_reassembly(exp):
+    """Bucketed batched forward preserves every utterance exactly: padded
+    batches slice back to the per-utterance streams, names/lengths align,
+    every utterance appears exactly once, batch axis is padded to size."""
+    from tpukaldi.data import iter_forward_batches
+
+    ds = exp.datasets["synth_tr"]
+    chunk = load_chunk(ds, ["mfcc"], ["lab_cd"], max_seq_length=1000)
+    per_utt = {u.names[0]: u.feats[:, 0] for u in iter_forward_utterances(chunk)}
+
+    seen = []
+    for b in iter_forward_batches(chunk, batch_size=4):
+        assert b.feats.shape[1] == 4  # batch axis always padded
+        for k, name in enumerate(b.names):
+            ln = int(b.lengths[k])
+            np.testing.assert_array_equal(b.feats[:ln, k], per_utt[name])
+            # rows past the true length are zero padding
+            assert not b.feats[ln:, k].any()
+            seen.append(name)
+        # padded rows beyond the real group have zero length
+        assert not b.lengths[len(b.names):].any()
+    assert sorted(seen) == sorted(chunk.names)

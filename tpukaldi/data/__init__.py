@@ -8,6 +8,7 @@ from .batching import (  # noqa: F401
     FrameBatch,
     SeqBatch,
     bucket_for,
+    iter_forward_batches,
     iter_forward_utterances,
     iter_frame_batches,
     iter_seq_batches,
