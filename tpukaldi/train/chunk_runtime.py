@@ -11,6 +11,7 @@ ledger boundaries (write every chunk; read only on cold resume).
 
 from __future__ import annotations
 
+import logging
 import os
 import sys
 import time
@@ -199,7 +200,23 @@ class ChunkRuntime:
             return iter_seq_batches(chunk, batch_size, rng=rng)
         return iter_frame_batches(chunk, batch_size)
 
+    def _effective_bs(self, chunk: ChunkData, batch_size: int) -> int:
+        """Batching drops the tail that doesn't fill a batch (reference
+        core.py:118-127, int(N_snt/batch_size)).  When the whole chunk is
+        smaller than one batch the reference divides by N_batches == 0
+        (core.py:417); instead of crashing or silently reporting 0.0,
+        shrink the batch to cover the chunk."""
+        n = chunk.n_sentences if self.seq_model else chunk.n_frames
+        if 0 < n < batch_size:
+            logging.warning(
+                "chunk has %d %s < batch_size %d; using batch_size=%d",
+                n, "sentences" if self.seq_model else "frames", batch_size, n,
+            )
+            return n
+        return batch_size
+
     def _run_train_valid(self, task, chunk, epoch_lr, batch_size) -> ChunkResult:
+        batch_size = self._effective_bs(chunk, batch_size)
         first = next(self._batches(chunk, batch_size, False, task.seed), None)
         if first is None:
             return ChunkResult(0.0, 0.0, 0.0, 0)
