@@ -212,3 +212,51 @@ def test_compressed_writer_roundtrip():
     # 16-bit quantization over the value range
     span = mat.max() - mat.min()
     np.testing.assert_allclose(out, mat, atol=span / 65000)
+
+
+def test_posterior_roundtrip(tmp_path):
+    """Posterior codec (reference data_io.py:1316-1356): ark of
+    vector<vector<pair<int,float>>> survives write->read, incl. via scp
+    and the ark:/scp: rxspec dispatcher."""
+    post1 = [[(3, 0.9), (7, 0.1)], [], [(0, 1.0)]]
+    post2 = [[(1, 0.5)]]
+    ark = str(tmp_path / "p.ark")
+    scp = str(tmp_path / "p.scp")
+    with kio.ArkScpWriter(ark, scp, writer=kio.write_post) as w:
+        w.write("u1", post1)
+        w.write("u2", post2)
+    got = dict(kio.read_post_ark(ark))
+    assert list(got) == ["u1", "u2"]
+    assert got["u1"][0] == [(3, pytest.approx(0.9)), (7, pytest.approx(0.1))]
+    assert got["u1"][1] == [] and got["u2"] == [[(1, pytest.approx(0.5))]]
+    via_scp = dict(kio.read_post_scp(scp))
+    assert via_scp["u2"] == got["u2"]
+    assert dict(kio.read_post_rxspec("ark:" + ark))["u1"] == got["u1"]
+    # cnet shares the wire format
+    assert dict(kio.read_cnet_ark(ark))["u2"] == got["u2"]
+
+
+def test_cntime_reader(tmp_path):
+    """Confusion-network time pairs (data_io.py:1389-1421)."""
+    import struct as st
+
+    path = str(tmp_path / "t.ark")
+    with open(path, "wb") as f:
+        f.write(b"utt1 " + kio.BINARY_FLAG + b"\x04" + st.pack("<i", 2))
+        for b, e in [(0.0, 0.5), (0.5, 1.25)]:
+            f.write(b"\x04" + st.pack("<f", b) + b"\x04" + st.pack("<f", e))
+    got = dict(kio.read_cntime_ark(path))
+    assert got["utt1"] == [(0.0, 0.5), (0.5, pytest.approx(1.25))]
+
+
+def test_segments_bool_vec(tmp_path):
+    p = tmp_path / "segments"
+    p.write_text("u1 rec1 0.00 0.50\nu2 rec1 1.00 1.20\n")
+    vec = kio.read_segments_as_bool_vec(str(p))
+    assert vec.shape == (120,) and vec.dtype == bool
+    assert vec[:50].all() and not vec[50:100].any() and vec[100:120].all()
+    # two different recordings in one file is an error
+    p2 = tmp_path / "bad"
+    p2.write_text("u1 rec1 0.0 0.5\nu2 rec2 1.0 1.2\n")
+    with pytest.raises(kio.KaldiIOError):
+        kio.read_segments_as_bool_vec(str(p2))

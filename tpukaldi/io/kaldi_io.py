@@ -449,3 +449,139 @@ class ArkScpWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+# ---------------------------------------------------------------------------
+# posteriors / confusion networks / segments
+# (reference surface: data_io.py:1251-1446)
+# ---------------------------------------------------------------------------
+
+
+def read_post(fd_or_path: Union[str, BinaryIO]) -> list:
+    """Read one Kaldi Posterior: C++ vector<vector<pair<int32,float>>>.
+
+    Outer vector = frames; inner vector = (index, value) records per frame.
+    Wire layout: '\\0B', int32 n_frames, then per frame int32 n_pairs
+    followed by n_pairs of (int32 idx, float32 val) — every basic type
+    prefixed by its 1-byte size marker.
+    """
+    fd = open_or_fd(fd_or_path)
+    try:
+        _expect(fd, BINARY_FLAG, "binary flag")
+        n_frames = _read_int32(fd)
+        rec = np.dtype([("si", "i1"), ("idx", "<i4"), ("sv", "i1"), ("val", "<f4")])
+        out = []
+        for _ in range(n_frames):
+            n_pairs = _read_int32(fd)
+            data = np.frombuffer(fd.read(n_pairs * rec.itemsize), dtype=rec,
+                                 count=n_pairs)
+            if n_pairs and (data["si"][0] != 4 or data["sv"][0] != 4):
+                raise KaldiIOError("malformed posterior pair record")
+            out.append([(int(i), float(v)) for i, v in zip(data["idx"],
+                                                           data["val"])])
+        return out
+    finally:
+        if isinstance(fd_or_path, str):
+            fd.close()
+
+
+def write_post(fd: BinaryIO, post: list, key: str = "") -> None:
+    """Write one Posterior (inverse of read_post; Kaldi-binary-compatible)."""
+    if key:
+        fd.write(key.encode("latin1") + b" ")
+    fd.write(BINARY_FLAG)
+    _write_int32(fd, len(post))
+    for frame in post:
+        _write_int32(fd, len(frame))
+        for idx, val in frame:
+            fd.write(b"\x04" + struct.pack("<i", int(idx)))
+            fd.write(b"\x04" + struct.pack("<f", float(val)))
+
+
+def read_post_ark(fd_or_path: Union[str, BinaryIO]) -> Iterator[Tuple[str, list]]:
+    """Generator of (key, posterior) from an ark stream."""
+    fd = open_or_fd(fd_or_path)
+    try:
+        key = read_key(fd)
+        while key:
+            yield key, read_post(fd)
+            key = read_key(fd)
+    finally:
+        if isinstance(fd_or_path, str):
+            fd.close()
+
+
+def read_post_scp(fd_or_path: Union[str, BinaryIO]) -> Iterator[Tuple[str, list]]:
+    for key, rx in read_scp_entries(fd_or_path):
+        yield key, read_post(rx)
+
+
+def read_post_rxspec(spec: str) -> Iterator[Tuple[str, list]]:
+    """'ark:...' / 'scp:...' posterior reader (data_io.py:1256-1266)."""
+    kind, _, path = spec.partition(":")
+    if kind == "ark":
+        return read_post_ark(path)
+    if kind == "scp":
+        return read_post_scp(path)
+    raise KaldiIOError(f"posterior rxspec must start with ark:/scp:, got {spec!r}")
+
+
+def read_cnet_ark(fd_or_path: Union[str, BinaryIO]) -> Iterator[Tuple[str, list]]:
+    """Confusion networks share the Posterior wire format (data_io.py:1251)."""
+    return read_post_ark(fd_or_path)
+
+
+def read_cntime(fd_or_path: Union[str, BinaryIO]) -> list:
+    """Confusion-network bin times: vector<pair<float,float>> of
+    (t_begin, t_end) per bin (data_io.py:1389-1421)."""
+    fd = open_or_fd(fd_or_path)
+    try:
+        _expect(fd, BINARY_FLAG, "binary flag")
+        n = _read_int32(fd)
+        rec = np.dtype([("sb", "i1"), ("tb", "<f4"), ("se", "i1"), ("te", "<f4")])
+        data = np.frombuffer(fd.read(n * rec.itemsize), dtype=rec, count=n)
+        if n and (data["sb"][0] != 4 or data["se"][0] != 4):
+            raise KaldiIOError("malformed cntime record")
+        return [(float(b), float(e)) for b, e in zip(data["tb"], data["te"])]
+    finally:
+        if isinstance(fd_or_path, str):
+            fd.close()
+
+
+def read_cntime_ark(fd_or_path: Union[str, BinaryIO]) -> Iterator[Tuple[str, list]]:
+    fd = open_or_fd(fd_or_path)
+    try:
+        key = read_key(fd)
+        while key:
+            yield key, read_cntime(fd)
+            key = read_key(fd)
+    finally:
+        if isinstance(fd_or_path, str):
+            fd.close()
+
+
+def read_segments_as_bool_vec(path: str) -> np.ndarray:
+    """Kaldi 'segments' file for ONE recording -> per-frame bool vector
+    at 100 frames/sec (data_io.py:1429-1446): lines '<utt> <rec> <beg> <end>'
+    with times in seconds; True inside any segment."""
+    segs = []
+    recs = set()
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) != 4:
+                raise KaldiIOError(f"bad segments line: {line!r}")
+            recs.add(parts[1])
+            segs.append((float(parts[2]), float(parts[3])))
+    if not segs:
+        raise KaldiIOError("empty segments file")
+    if len(recs) != 1:
+        raise KaldiIOError("segments file must reference a single recording")
+    start = np.rint([100 * b for b, _ in segs]).astype(int)
+    end = np.rint([100 * e for _, e in segs]).astype(int)
+    vec = np.zeros(int(end.max()), dtype=bool)
+    for b, e in zip(start, end):
+        vec[b:e] = True
+    return vec
