@@ -38,3 +38,22 @@ def test_zoo_arch_trains_e2e(corpus, arch, tmp_path_factory):
     # without it valid would silently report 0.000.
     verr = float(re.search(r"valid=\S+ loss=\S+ err=(\d+\.\d+)", res).group(1))
     assert 0.0 < verr < 0.85, f"{arch} bogus valid err: {res}"
+
+
+def test_arch_opt_none_freezes_params(corpus, tmp_path_factory):
+    """refac01's arch_opt=none (reference proto/global_refac01.proto:47):
+    the architecture gets no optimizer update at all, so training is a
+    no-op and error stays at chance."""
+    out = str(tmp_path_factory.mktemp("optnone"))
+    cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=1,
+                    n_chunks=1, batch_size=32, cw=2, lr=0.2)
+    lines = [l for l in open(cfg).read().splitlines()
+             if not l.startswith(("opt_momentum", "opt_weight_decay",
+                                  "opt_dampening", "opt_nesterov"))]
+    open(cfg, "w").write(
+        "\n".join(lines).replace("arch_opt = sgd", "arch_opt = none", 1))
+    run_experiment(cfg)
+    res = open(os.path.join(out, "res.res")).read().strip()
+    err = float(re.search(r"err=(\d+\.\d+)", res).group(1))
+    loss = float(re.search(r"loss=(\d+\.\d+)", res).group(1))
+    assert err > 0.8 and abs(loss - 2.303) < 0.05  # ln(10): untouched net

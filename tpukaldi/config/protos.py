@@ -61,7 +61,7 @@ GLOBAL: Proto = {
         "arch_lr": "list_str",
         "arch_halving_factor": "float(0,inf)",
         "arch_improvement_threshold": "float(0,inf)",
-        "arch_opt": "{sgd,rmsprop,adam}",
+        "arch_opt": "{sgd,rmsprop,adam,none}",
     },
     "model": {"model_proto": "path", "model": "str"},
     "forward": {
@@ -295,6 +295,8 @@ OPT_PROTOS: Dict[str, Proto] = {
             "opt_weight_decay": "float(0,inf)",
         }
     },
+    # refac01's arch_opt=none: no optimizer, no option fields
+    "none.proto": {"proto": {}},
 }
 
 BUILTIN: Dict[str, Proto] = {

@@ -76,6 +76,12 @@ def make_optimizer(arch: ArchSpec) -> optax.GradientTransformation:
         momentum = float(o.get("opt_momentum", 0.0))
         if momentum > 0.0:
             parts.append(optax.trace(decay=momentum, nesterov=False))
+    elif kind == "none":
+        # refac01's arch_opt=none (proto/global_refac01.proto:47): the net
+        # gets no optimizer update at all — the reference simply never
+        # registers it in optimizer_init (utils.py:2114-2146).  Zero updates
+        # keep the uniform per-arch step structure (and set_lr stays valid).
+        parts.append(optax.set_to_zero())
     else:
         raise ValueError(f"unknown optimizer {kind!r}")
 
