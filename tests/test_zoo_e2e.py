@@ -57,3 +57,24 @@ def test_arch_opt_none_freezes_params(corpus, tmp_path_factory):
     err = float(re.search(r"err=(\d+\.\d+)", res).group(1))
     loss = float(re.search(r"loss=(\d+\.\d+)", res).group(1))
     assert err > 0.8 and abs(loss - 2.303) < 0.05  # ln(10): untouched net
+
+
+def test_scheduled_dropout_applied_at_runtime(corpus, tmp_path_factory):
+    """Per-epoch dropout schedules (reference utils.py:872-906 bakes
+    drop_rates into chunk cfgs) must change the *runtime* rate, not just
+    the ledger: 0.85->0.0 at epoch 1 learns, constant 0.85 doesn't."""
+    def run(drop_spec, tag):
+        out = str(tmp_path_factory.mktemp(tag))
+        cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=2,
+                        n_chunks=1, batch_size=32, cw=2, lr=0.2)
+        text = open(cfg).read().replace(
+            "dnn_drop = 0.1,0.0", f"dnn_drop = {drop_spec},0.0")
+        open(cfg, "w").write(text)
+        run_experiment(cfg)
+        lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+        return [float(re.search(r"err=(\d+\.\d+)", l).group(1)) for l in lines]
+
+    scheduled = run("0.85*1|0.0*1", "dsched")
+    constant = run("0.85", "dconst")
+    assert scheduled[0] == constant[0]          # epoch 0 identical
+    assert scheduled[1] < constant[1] - 0.2     # epoch 1 diverges hard

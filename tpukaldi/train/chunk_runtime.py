@@ -125,6 +125,7 @@ class ChunkRuntime:
     # ---------------- state ----------------
     def ensure_initialized(self, chunk: ChunkData, sample_feats, sample_labs):
         if self.graph is None:
+            self._layouts = (chunk.fea_layout, chunk.lab_layout)
             self.graph = build_graph(self.exp, chunk.fea_layout, chunk.lab_layout)
             self.params, self.batch_stats = init_graph(
                 self.graph, jax.random.key(self.exp.seed), sample_feats
@@ -136,23 +137,45 @@ class ChunkRuntime:
                 n: self.optimizers[n].init(self.params[n])
                 for n in self.graph.arch_names
             }
-            frozen = {n: self.exp.archs[n].freeze for n in self.graph.arch_names}
-            self._train_step = make_train_step(
+            self._make_steps()
+
+    def _make_steps(self) -> None:
+        frozen = {n: self.exp.archs[n].freeze for n in self.graph.arch_names}
+        self._train_step = make_train_step(
+            self.graph, self.optimizers, frozen, mesh=self.mesh
+        )
+        # K sequential steps fused into one dispatch (amortizes launch
+        # latency); default on TPU only — extra compiles aren't worth it
+        # for CPU test runs
+        default_k = "8" if jax.default_backend() == "tpu" else "1"
+        self._multistep_k = int(
+            os.environ.get("TPUKALDI_MULTISTEP", default_k)
+        )
+        if self._multistep_k > 1:
+            self._train_multistep = make_train_multistep(
                 self.graph, self.optimizers, frozen, mesh=self.mesh
             )
-            # K sequential steps fused into one dispatch (amortizes launch
-            # latency); default on TPU only — extra compiles aren't worth it
-            # for CPU test runs
-            default_k = "8" if jax.default_backend() == "tpu" else "1"
-            self._multistep_k = int(
-                os.environ.get("TPUKALDI_MULTISTEP", default_k)
-            )
-            if self._multistep_k > 1:
-                self._train_multistep = make_train_multistep(
-                    self.graph, self.optimizers, frozen, mesh=self.mesh
-                )
-            self._eval_step = make_eval_step(self.graph, mesh=self.mesh)
-            self._forward_step = make_forward_step(self.graph)
+        self._eval_step = make_eval_step(self.graph, mesh=self.mesh)
+        self._forward_step = make_forward_step(self.graph)
+
+    def apply_epoch_schedules(self, epoch: int) -> None:
+        """Per-epoch scheduled dropout (the reference bakes drop_rates into
+        every chunk cfg, utils.py:872-906,996-1013).  The rate is a static
+        module option here, so a change rebuilds the compiled graph; params,
+        batch stats and optimizer state are rate-independent and carry over
+        (one extra XLA compile per schedule segment, not per epoch)."""
+        changed = False
+        for name, arch in self.exp.archs.items():
+            if not (arch.drop_schedules and arch.drop_field):
+                continue
+            ep = min(epoch, len(arch.drop_schedules[0]) - 1)
+            want = ",".join(str(s[ep]) for s in arch.drop_schedules)
+            if arch.options.get(arch.drop_field) != want:
+                arch.options[arch.drop_field] = want
+                changed = True
+        if changed and self.graph is not None:
+            self.graph = build_graph(self.exp, *self._layouts)
+            self._make_steps()
 
     def restore_from(self, pretrain_files: Dict[str, str]) -> None:
         """Cold-resume path: load per-arch checkpoints when they exist and
@@ -185,6 +208,7 @@ class ChunkRuntime:
     ) -> ChunkResult:
         if chunk is None:
             chunk = self.load_task_chunk(task, max_seq_length)
+        self.apply_epoch_schedules(task.epoch)
         t0 = time.time()
         if task.phase in ("train", "valid"):
             result = self._run_train_valid(task, chunk, epoch_lr, batch_size)
