@@ -409,6 +409,10 @@ def _parse_arch(config, section: str, n_epochs: int) -> ArchSpec:
                 f"section [{section}]: field {key!r} not in proto {proto_path!r}"
             )
         options[key] = val
+        # scheduled dropout: the reference substring-matches "_drop"
+        # (utils.py:901), which would also catch sru_dropout/sru_rnn_dropout
+        # and overwrite both from a single schedule; suffix-match keeps
+        # scheduling to the per-layer *_drop lists it is meant for
         if key.endswith("_drop"):
             drop_field = key
     missing = [
