@@ -118,3 +118,27 @@ acwt = 0.2
     # save_out_file=False -> arks removed after decode
     ef = tmp_path / "e" / "exp_files"
     assert not [f for f in os.listdir(ef) if f.endswith("_to_decode.ark")]
+
+
+def test_cmd_launcher_prefix(tmp_path):
+    """[exp] cmd prepends a launcher (queue.pl-style wrapper) to the decode
+    command line (reference run_exp.py:595)."""
+    import types
+
+    script = tmp_path / "decode.sh"
+    script.write_text("#!/bin/bash\nmkdir -p $2\n")
+    script.chmod(0o755)
+    wrapper = tmp_path / "launcher.sh"
+    wrapper.write_text(f'#!/bin/bash\necho "$@" > {tmp_path}/launched.txt\nexec "$@"\n')
+    wrapper.chmod(0o755)
+    ark = tmp_path / "post.ark"
+    ark.write_bytes(b"")
+    exp = types.SimpleNamespace(
+        out_folder=str(tmp_path), cmd=str(wrapper),
+        decoding=DecodingSpec(script_folder=str(tmp_path), script="decode.sh",
+                              options={}),
+    )
+    lab = LabelSpec("lab_cd", str(tmp_path), "", data_folder=str(tmp_path),
+                    graph=str(tmp_path))
+    run_decode(exp, lab, "o", "d", [str(ark)], str(tmp_path / "log"))
+    assert "decode.sh" in (tmp_path / "launched.txt").read_text()

@@ -157,6 +157,9 @@ class ExperimentConfig:
     forward: ForwardSpec
     decoding: DecodingSpec
     raw: configparser.ConfigParser
+    # launcher prefix for the decode command (reference run_exp.py:595
+    # prepends [exp] cmd, e.g. a queue.pl/slurm wrapper)
+    cmd: str = ""
     # accepted-for-compat reference flags (TPU runtime decides devices itself)
     use_cuda: bool = False
     multi_gpu: bool = False
@@ -601,6 +604,7 @@ def load_config(
         forward=forward,
         decoding=decoding,
         raw=config,
+        cmd=exp.get("cmd", "").strip(),
         use_cuda=to_bool(exp.get("use_cuda", "False")),
         multi_gpu=to_bool(exp.get("multi_gpu", "False")),
         save_gpumem=to_bool(exp.get("save_gpumem", "False")),

@@ -71,6 +71,10 @@ def run_decode(
         out_dec_folder,
     )
     cmd = [script, conf, out_dec_folder, " ".join(os.path.abspath(a) for a in ark_files)]
+    if getattr(exp, "cmd", ""):
+        # [exp] cmd launcher prefix (queue.pl / slurm wrapper), reference
+        # run_exp.py:595 prepends it to the decode command line
+        cmd = exp.cmd.split() + cmd
     with open(log_file, "a") as f:
         result = subprocess.run(cmd, stdout=f, stderr=f)
     if result.returncode != 0:
