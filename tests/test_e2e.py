@@ -154,3 +154,39 @@ def test_fusion_rnn_experiment(tmp_path_factory):
     posts = dict(read_mat_ark(os.path.join(ef, arks[0])))
     assert all(m.shape[1] == 10 and np.isfinite(m).all()
                for m in posts.values())
+
+
+def test_mid_run_crash_resume_matches_uninterrupted(corpus, tmp_path_factory,
+                                                    monkeypatch):
+    """Kill the driver mid-epoch-1, resume in a fresh invocation: the ledger
+    (.info skip + rolling checkpoint restore) must reproduce the
+    uninterrupted run's per-epoch results exactly (SURVEY.md §7.4 item 6)."""
+    import re
+    from tpukaldi.train.chunk_runtime import ChunkRuntime
+
+    def run(out, crash_after=None):
+        cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=2,
+                        n_chunks=2, batch_size=32, lr=0.2)
+        if crash_after is not None:
+            real = ChunkRuntime.run_task
+            calls = {"n": 0}
+
+            def crashing(self, task, **kw):
+                if calls["n"] >= crash_after and task.phase == "train":
+                    raise KeyboardInterrupt("simulated crash")
+                calls["n"] += 1
+                return real(self, task, **kw)
+
+            monkeypatch.setattr(ChunkRuntime, "run_task", crashing)
+            with pytest.raises(KeyboardInterrupt):
+                run_experiment(cfg)
+            monkeypatch.setattr(ChunkRuntime, "run_task", real)
+        run_experiment(cfg)
+        lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+        return [re.sub(r"time\(s\)=\d+", "", l) for l in lines]
+
+    control = run(str(tmp_path_factory.mktemp("ctl")))
+    resumed = run(str(tmp_path_factory.mktemp("crash")), crash_after=3)
+    # the resumed run re-dumps finished epochs from the ledger, then the
+    # live ones: its last len(control) lines must equal the control run
+    assert resumed[-len(control):] == control
