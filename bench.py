@@ -19,6 +19,7 @@ epoch of this exact recipe in ~34 s on one tunneled v5e chip (2.6x the
 reference MLP epoch trace).
 """
 
+import functools
 import json
 import time
 
@@ -93,7 +94,9 @@ def main():
         nll_mono = -jnp.take_along_axis(logp_mono, y_mono[:, None], axis=1).mean()
         return nll_cd + 1.0 * nll_mono, upd["batch_stats"]
 
-    @jax.jit
+    # donate state buffers like the production train step (train/step.py):
+    # in-place param/opt updates avoid a full extra copy of the state in HBM
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, stats, opt, x, y_cd, y_mono, key):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, stats, x, y_cd, y_mono, key
