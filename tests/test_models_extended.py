@@ -262,3 +262,31 @@ def test_registry_has_all_reference_classes():
         "RNN_cudnn", "SRU", "QLSTM", "PASE", "fusionRNN_jit",
     ]:
         assert resolve(name) is not None
+
+
+def test_input_and_layer_norms_coexist():
+    """Input-level and layer-0 norms are distinct modules (reference has
+    ln0/bn0 separate from per-layer ln[i]/bn_w*[i]); they previously
+    collided on the flax param name."""
+    import jax
+    import jax.numpy as jnp
+    from tpukaldi.models import MLP, liGRU
+
+    opts = {
+        "ligru_lay": "6", "ligru_drop": "0.0", "ligru_use_laynorm_inp": "True",
+        "ligru_use_batchnorm_inp": "True", "ligru_use_laynorm": "True",
+        "ligru_use_batchnorm": "False", "ligru_bidir": "False",
+        "ligru_act": "tanh", "ligru_orthinit": "True",
+    }
+    m = liGRU(options=opts, inp_dim=5)
+    v = m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+               jnp.zeros((4, 2, 5)), train=True)
+    assert {"ln_inp_gamma", "ln0_gamma"} <= set(v["params"])
+
+    mo = {"dnn_lay": "6", "dnn_drop": "0.0", "dnn_use_laynorm_inp": "True",
+          "dnn_use_batchnorm_inp": "True", "dnn_use_batchnorm": "True",
+          "dnn_use_laynorm": "True", "dnn_act": "relu"}
+    m2 = MLP(options=mo, inp_dim=5)
+    v2 = m2.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                 jnp.zeros((4, 5)), train=True)
+    assert {"ln_inp", "ln0", "bn_inp", "bn0"} <= set(v2["params"])

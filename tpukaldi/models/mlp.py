@@ -47,9 +47,9 @@ class MLP(nn.Module):
         acts = o["dnn_act"].split(",")
 
         if to_bool(o.get("dnn_use_laynorm_inp", "False")):
-            x = RefLayerNorm(self.inp_dim, name="ln0")(x)
+            x = RefLayerNorm(self.inp_dim, name="ln_inp")(x)
         if to_bool(o.get("dnn_use_batchnorm_inp", "False")):
-            x = make_batchnorm(not train, name="bn0")(x)
+            x = make_batchnorm(not train, name="bn_inp")(x)
 
         current = self.inp_dim
         for i, width in enumerate(lay):

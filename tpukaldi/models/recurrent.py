@@ -127,12 +127,12 @@ class _RecurrentBase(nn.Module):
         orthinit = to_bool(o.get(f"{p}_orthinit", "True"))
 
         if to_bool(o.get(f"{p}_use_laynorm_inp", "False")):
-            gamma = self.param("ln0_gamma", nn.initializers.ones, (self.inp_dim,))
-            beta = self.param("ln0_beta", nn.initializers.zeros, (self.inp_dim,))
+            gamma = self.param("ln_inp_gamma", nn.initializers.ones, (self.inp_dim,))
+            beta = self.param("ln_inp_beta", nn.initializers.zeros, (self.inp_dim,))
             x = _ref_laynorm(x, gamma, beta)
         if to_bool(o.get(f"{p}_use_batchnorm_inp", "False")):
             T0, B0, D0 = x.shape
-            x = make_batchnorm(not train, name="bn0")(x.reshape(T0 * B0, D0))
+            x = make_batchnorm(not train, name="bn_inp")(x.reshape(T0 * B0, D0))
             x = x.reshape(T0, B0, D0)
 
         n_ff = len(self.FF_GATES)
