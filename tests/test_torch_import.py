@@ -1,0 +1,99 @@
+"""Reference-checkpoint migration: torch .pkl (core.py:712-722 format) ->
+tpukaldi params, verified by output parity against the torch original."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+torch = pytest.importorskip("torch")
+ref_nn = pytest.importorskip("neural_networks")
+
+import jax
+import jax.numpy as jnp
+
+from tpukaldi.compat import convert_checkpoint_file, import_model_par
+from tpukaldi.models import MLP, liGRU
+from tpukaldi.train.checkpoint import load_checkpoint
+
+
+def _mlp_opts():
+    return {
+        "dnn_lay": "16,10", "dnn_drop": "0.0,0.0",
+        "dnn_use_batchnorm": "True,False", "dnn_use_laynorm": "False,False",
+        "dnn_use_laynorm_inp": "False", "dnn_use_batchnorm_inp": "False",
+        "dnn_act": "relu,softmax", "use_cuda": "False", "to_do": "forward",
+    }
+
+
+def _ligru_opts():
+    return {
+        "ligru_lay": "8,8", "ligru_drop": "0.0,0.0",
+        "ligru_use_laynorm_inp": "False", "ligru_use_batchnorm_inp": "False",
+        "ligru_use_laynorm": "False,False", "ligru_use_batchnorm": "True,True",
+        "ligru_bidir": "True", "ligru_act": "relu,relu",
+        "ligru_orthinit": "True", "use_cuda": "False", "to_do": "forward",
+    }
+
+
+def test_pkl_file_roundtrip_mlp(tmp_path):
+    """torch.save'd reference checkpoint -> convert_checkpoint_file ->
+    load_checkpoint -> bit-equal forward vs the torch original."""
+    torch.manual_seed(3)
+    ref = ref_nn.MLP(_mlp_opts(), 65)
+    ref.train()
+    for _ in range(2):
+        ref(torch.randn(32, 65))  # accumulate BN running stats
+    ref.eval()
+    pkl = str(tmp_path / "train_ep23_ck4_MLP.pkl")
+    torch.save({"model_par": ref.state_dict()}, pkl)
+
+    ckpt = str(tmp_path / "pretrained_MLP.ckpt")
+    convert_checkpoint_file(pkl, ckpt, "MLP")
+    params, _, stats = load_checkpoint(ckpt)
+
+    x = np.random.default_rng(7).standard_normal((16, 65)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(MLP(options=_mlp_opts(), inp_dim=65).apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_state_dict_import_ligru_bidir_batchnorm():
+    """The fused-BN mapping: per-gate BatchNorm1d vectors concatenate in
+    FF_GATES order; 2-layer bidirectional liGRU matches torch."""
+    torch.manual_seed(0)
+    ref = ref_nn.liGRU(_ligru_opts(), 10)
+    ref.train()
+    with torch.no_grad():
+        for _ in range(3):
+            ref(torch.randn(12, 4, 10))
+    ref.eval()
+    params, stats = import_model_par(ref.state_dict(), "liGRU")
+    x = np.random.default_rng(1).standard_normal((12, 4, 10)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(liGRU(options=_ligru_opts(), inp_dim=10).apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_unsupported_class_raises():
+    with pytest.raises(NotImplementedError, match="SincNet"):
+        import_model_par({}, "SincNet")
+
+
+def test_params_only_ckpt_loads_against_template(tmp_path):
+    """A converted ckpt has no optimizer state; restoring against a live
+    template must keep the template's opt state untouched."""
+    from tpukaldi.train.checkpoint import save_checkpoint
+
+    p = str(tmp_path / "p.ckpt")
+    save_checkpoint(p, {"w": np.ones(3, np.float32)})
+    params, opt, stats = load_checkpoint(
+        p, {"w": np.zeros(3, np.float32)}, {"momentum": np.full(3, 7.0)}, {})
+    np.testing.assert_array_equal(np.asarray(params["w"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(opt["momentum"]), 7.0)

@@ -1,0 +1,184 @@
+"""Import reference pytorch-kaldi checkpoints (.pkl) into tpukaldi.
+
+The reference saves one torch pickle per architecture per chunk:
+`{"model_par": state_dict, "optimizer_par": ...}` (core.py:712-722).  A
+user migrating a trained experiment brings those .pkl files; this module
+maps their `model_par` tensors onto the corresponding tpukaldi param tree
+(and batch-norm running stats), and can write a native .ckpt that
+`arch_pretrain_file` accepts.
+
+Weight-layout notes (all verified by the output-parity suite,
+tests/test_reference_model_parity.py):
+- torch nn.Linear stores (out, in); flax Dense kernels are (in, out) — every
+  weight transposes.
+- The reference keeps one Linear and one BatchNorm1d PER GATE
+  (neural_networks.py:432-450); tpukaldi fuses the feed-forward gate
+  projections into one matmul and the per-gate batchnorms into one
+  feature-wise batchnorm, so per-gate BN vectors concatenate in the cell's
+  FF_GATES order.
+
+Optimizer state is NOT imported (torch SGD/Adam moments don't map onto
+optax pytrees 1:1); fine-tuning restarts the optimizer, matching what the
+reference itself does when `arch_pretrain_file` points across experiments.
+
+CLI:
+    python -m tpukaldi.compat.torch_import <ref.pkl> <out.ckpt> \
+        <ArchClass> <prefix-or-empty>
+e.g.
+    python -m tpukaldi.compat.torch_import exp/.../train_ep23_ck4_MLP.pkl \
+        pretrained_MLP.ckpt MLP dnn
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+# torch attr names per gate, in OUR FF_GATES order (models/recurrent.py)
+_GATE_TABLES: Dict[str, Tuple[Tuple[str, str, str], ...]] = {
+    # (our gate letter, torch ff attr, torch recurrent attr)
+    "liGRU": (("h", "wh", "uh"), ("z", "wz", "uz")),
+    "minimalGRU": (("h", "wh", "uh"), ("z", "wz", "uz")),
+    "GRU": (("h", "wh", "uh"), ("z", "wz", "uz"), ("r", "wr", "ur")),
+    "RNN": (("h", "wh", "uh"),),
+    "LSTM": (
+        ("f", "wfx", "ufh"),
+        ("i", "wix", "uih"),
+        ("o", "wox", "uoh"),
+        ("c", "wcx", "uch"),
+    ),
+}
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _n_layers(sd: Dict[str, Any], attr: str) -> int:
+    n = 0
+    while f"{attr}.{n}.weight" in sd:
+        n += 1
+    return n
+
+
+def _bn(sd: Dict[str, Any], key: str) -> Optional[Dict[str, np.ndarray]]:
+    if f"{key}.weight" not in sd:
+        return None
+    return {
+        "scale": _np(sd[f"{key}.weight"]),
+        "bias": _np(sd[f"{key}.bias"]),
+        "mean": _np(sd[f"{key}.running_mean"]),
+        "var": _np(sd[f"{key}.running_var"]),
+    }
+
+
+def import_model_par(
+    state_dict: Dict[str, Any], class_name: str
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Map a reference `model_par` state_dict to (params, batch_stats)
+    trees in tpukaldi naming.  Supports MLP and the recurrent zoo
+    (liGRU/GRU/LSTM/minimalGRU/RNN)."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    if class_name == "MLP":
+        for i in range(_n_layers(sd, "wx")):
+            dense = {"kernel": _np(sd[f"wx.{i}.weight"]).T}
+            if f"wx.{i}.bias" in sd:
+                dense["bias"] = _np(sd[f"wx.{i}.bias"])
+            params[f"wx{i}"] = dense
+            if f"ln.{i}.gamma" in sd:
+                params[f"ln{i}"] = {
+                    "gamma": _np(sd[f"ln.{i}.gamma"]),
+                    "beta": _np(sd[f"ln.{i}.beta"]),
+                }
+            bn = _bn(sd, f"bn.{i}")
+            if bn:
+                params[f"bn{i}"] = {"scale": bn["scale"], "bias": bn["bias"]}
+                stats[f"bn{i}"] = {"mean": bn["mean"], "var": bn["var"]}
+        if "ln0.gamma" in sd:
+            params["ln_inp"] = {
+                "gamma": _np(sd["ln0.gamma"]), "beta": _np(sd["ln0.beta"])
+            }
+        bn = _bn(sd, "bn0")
+        if bn:
+            params["bn_inp"] = {"scale": bn["scale"], "bias": bn["bias"]}
+            stats["bn_inp"] = {"mean": bn["mean"], "var": bn["var"]}
+        return params, stats
+
+    if class_name not in _GATE_TABLES:
+        raise NotImplementedError(
+            f"torch checkpoint import not implemented for {class_name!r} "
+            f"(supported: MLP, {', '.join(_GATE_TABLES)})"
+        )
+
+    gates = _GATE_TABLES[class_name]
+    n_lay = _n_layers(sd, gates[0][1])
+    for i in range(n_lay):
+        bn_parts = []
+        for g, w_attr, u_attr in gates:
+            params[f"w{g}{i}"] = _np(sd[f"{w_attr}.{i}.weight"]).T
+            if f"{w_attr}.{i}.bias" in sd:
+                params[f"b{g}{i}"] = _np(sd[f"{w_attr}.{i}.bias"])
+            params[f"u{g}{i}"] = _np(sd[f"{u_attr}.{i}.weight"]).T
+            bn = _bn(sd, f"bn_{w_attr}.{i}")
+            if bn:
+                bn_parts.append(bn)
+        if bn_parts:
+            # per-gate BatchNorm1d -> one fused feature BN, FF_GATES order
+            params[f"bn_ff{i}"] = {
+                "scale": np.concatenate([b["scale"] for b in bn_parts]),
+                "bias": np.concatenate([b["bias"] for b in bn_parts]),
+            }
+            stats[f"bn_ff{i}"] = {
+                "mean": np.concatenate([b["mean"] for b in bn_parts]),
+                "var": np.concatenate([b["var"] for b in bn_parts]),
+            }
+        if f"ln.{i}.gamma" in sd:
+            params[f"ln{i}_gamma"] = _np(sd[f"ln.{i}.gamma"])
+            params[f"ln{i}_beta"] = _np(sd[f"ln.{i}.beta"])
+    if "ln0.gamma" in sd:
+        params["ln_inp_gamma"] = _np(sd["ln0.gamma"])
+        params["ln_inp_beta"] = _np(sd["ln0.beta"])
+    bn = _bn(sd, "bn0")
+    if bn:
+        params["bn_inp"] = {"scale": bn["scale"], "bias": bn["bias"]}
+        stats["bn_inp"] = {"mean": bn["mean"], "var": bn["var"]}
+    return params, stats
+
+
+def convert_checkpoint_file(
+    pkl_path: str, out_ckpt: str, class_name: str
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Read a reference .pkl and write a tpukaldi .ckpt usable as
+    `arch_pretrain_file`.  Returns the (params, batch_stats) trees."""
+    import torch
+
+    from ..train.checkpoint import save_checkpoint
+
+    blob = torch.load(pkl_path, map_location="cpu", weights_only=True)
+    sd = blob["model_par"] if "model_par" in blob else blob
+    params, stats = import_model_par(sd, class_name)
+    save_checkpoint(out_ckpt, params, opt_state=None, batch_stats=stats)
+    return params, stats
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 3:
+        print(
+            "usage: python -m tpukaldi.compat.torch_import "
+            "<reference.pkl> <out.ckpt> <ArchClass>",
+            file=sys.stderr,
+        )
+        return 2
+    convert_checkpoint_file(argv[0], argv[1], argv[2])
+    print(f"wrote {argv[1]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -54,8 +54,10 @@ def load_checkpoint(
         payload = serialization.msgpack_restore(f.read())
 
     def restore(tree, template):
-        if template is None:
-            return tree
+        # params-only checkpoints (e.g. compat.torch_import) store {} for
+        # opt_state/batch_stats; keep the live template untouched then
+        if template is None or not tree:
+            return template if not tree and template is not None else tree
         return serialization.from_state_dict(template, tree)
 
     return (
