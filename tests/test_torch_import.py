@@ -82,8 +82,31 @@ def test_state_dict_import_ligru_bidir_batchnorm():
 
 
 def test_unsupported_class_raises():
-    with pytest.raises(NotImplementedError, match="SincNet"):
-        import_model_par({}, "SincNet")
+    with pytest.raises(NotImplementedError, match="PASE"):
+        import_model_par({}, "PASE")
+
+
+def test_state_dict_import_sincnet():
+    opts = {
+        "sinc_N_filt": "8,6", "sinc_n_filt": "8,6", "sinc_len_filt": "65,5",
+        "sinc_max_pool_len": "2,2", "sinc_act": "relu,relu",
+        "sinc_drop": "0.0,0.0", "sinc_use_laynorm": "False,False",
+        "sinc_use_batchnorm": "False,False", "sinc_use_laynorm_inp": "False",
+        "sinc_use_batchnorm_inp": "False", "sinc_sample_rate": "16000",
+        "sinc_min_low_hz": "50", "sinc_min_band_hz": "50",
+        "sinc_fast": "False", "use_cuda": "False", "to_do": "forward",
+    }
+    from tpukaldi.models import SincNet
+
+    torch.manual_seed(2)
+    ref = ref_nn.SincNet(opts, 200).eval()
+    params, stats = import_model_par(ref.state_dict(), "SincNet")
+    x = np.random.default_rng(4).standard_normal((5, 200)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(SincNet(options=opts, inp_dim=200).apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 def test_params_only_ckpt_loads_against_template(tmp_path):

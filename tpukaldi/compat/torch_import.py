@@ -22,11 +22,10 @@ optax pytrees 1:1); fine-tuning restarts the optimizer, matching what the
 reference itself does when `arch_pretrain_file` points across experiments.
 
 CLI:
-    python -m tpukaldi.compat.torch_import <ref.pkl> <out.ckpt> \
-        <ArchClass> <prefix-or-empty>
+    python -m tpukaldi.compat.torch_import <ref.pkl> <out.ckpt> <ArchClass>
 e.g.
     python -m tpukaldi.compat.torch_import exp/.../train_ep23_ck4_MLP.pkl \
-        pretrained_MLP.ckpt MLP dnn
+        pretrained_MLP.ckpt MLP
 """
 
 from __future__ import annotations
@@ -78,8 +77,8 @@ def import_model_par(
     state_dict: Dict[str, Any], class_name: str
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Map a reference `model_par` state_dict to (params, batch_stats)
-    trees in tpukaldi naming.  Supports MLP and the recurrent zoo
-    (liGRU/GRU/LSTM/minimalGRU/RNN)."""
+    trees in tpukaldi naming.  Supports MLP, CNN, SincNet and the recurrent
+    zoo (liGRU/GRU/LSTM/minimalGRU/RNN)."""
     sd = state_dict
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -109,10 +108,39 @@ def import_model_par(
             stats["bn_inp"] = {"mean": bn["mean"], "var": bn["var"]}
         return params, stats
 
+    if class_name in ("CNN", "SincNet"):
+        # conv.{i}: Conv1d (weight layout (out,in,k) identical to ours);
+        # SincNet's conv.0 is a SincConv whose learnables are low_hz_/band_hz_
+        # (set sinc_fast=False in the cfg for checkpoints from the
+        # reference's SincNet, which uses the original SincConv:
+        # neural_networks.py:1596-1604)
+        i = 0
+        while True:
+            if f"conv.{i}.low_hz_" in sd:
+                params["low_hz"] = _np(sd[f"conv.{i}.low_hz_"])
+                params["band_hz"] = _np(sd[f"conv.{i}.band_hz_"])
+            elif f"conv.{i}.weight" in sd:
+                params[f"conv{i}"] = _np(sd[f"conv.{i}.weight"])
+                if f"conv.{i}.bias" in sd:
+                    params[f"conv{i}_b"] = _np(sd[f"conv.{i}.bias"])
+            else:
+                break
+            if f"ln.{i}.gamma" in sd:
+                params[f"ln{i}"] = {
+                    "gamma": _np(sd[f"ln.{i}.gamma"]),
+                    "beta": _np(sd[f"ln.{i}.beta"]),
+                }
+            bn = _bn(sd, f"bn.{i}")
+            if bn:
+                params[f"bn{i}"] = {"scale": bn["scale"], "bias": bn["bias"]}
+                stats[f"bn{i}"] = {"mean": bn["mean"], "var": bn["var"]}
+            i += 1
+        return params, stats
+
     if class_name not in _GATE_TABLES:
         raise NotImplementedError(
             f"torch checkpoint import not implemented for {class_name!r} "
-            f"(supported: MLP, {', '.join(_GATE_TABLES)})"
+            f"(supported: MLP, CNN, SincNet, {', '.join(_GATE_TABLES)})"
         )
 
     gates = _GATE_TABLES[class_name]
