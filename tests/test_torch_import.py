@@ -120,3 +120,22 @@ def test_params_only_ckpt_loads_against_template(tmp_path):
         p, {"w": np.zeros(3, np.float32)}, {"momentum": np.full(3, 7.0)}, {})
     np.testing.assert_array_equal(np.asarray(params["w"]), 1.0)
     np.testing.assert_array_equal(np.asarray(opt["momentum"]), 7.0)
+
+
+def test_state_dict_import_qlstm():
+    import quaternion_neural_networks as ref_qnn
+
+    from tpukaldi.models import QLSTM
+
+    opts = {"lstm_lay": "12", "lstm_drop": "0.0", "lstm_bidir": "True",
+            "lstm_act": "tanh", "quaternion_init": "quaternion",
+            "autograd": "True", "use_cuda": "False", "to_do": "forward"}
+    torch.manual_seed(5)
+    ref = ref_qnn.QLSTM(opts, 8).eval()
+    params, stats = import_model_par(ref.state_dict(), "QLSTM")
+    x = np.random.default_rng(2).standard_normal((9, 2, 8)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(QLSTM(options=opts, inp_dim=8).apply(
+        {"params": params}, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -77,7 +77,7 @@ def import_model_par(
     state_dict: Dict[str, Any], class_name: str
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Map a reference `model_par` state_dict to (params, batch_stats)
-    trees in tpukaldi naming.  Supports MLP, CNN, SincNet and the recurrent
+    trees in tpukaldi naming.  Supports MLP, CNN, SincNet, QLSTM and the recurrent
     zoo (liGRU/GRU/LSTM/minimalGRU/RNN)."""
     sd = state_dict
     params: Dict[str, Any] = {}
@@ -137,10 +137,30 @@ def import_model_par(
             i += 1
         return params, stats
 
+    if class_name == "QLSTM":
+        # quaternion gates: 4 real weight matrices per QuaternionLinear
+        # (quaternion_neural_networks.py:175-223); no transposition — the
+        # Hamilton-product layout is shared
+        i = 0
+        while f"wfx.{i}.r_weight" in sd:
+            for g, w_attr, u_attr in (("f", "wfx", "ufh"), ("i", "wix", "uih"),
+                                      ("o", "wox", "uoh"), ("c", "wcx", "uch")):
+                quad = {c: _np(sd[f"{w_attr}.{i}.{c}_weight"])
+                        for c in ("r", "i", "j", "k")}
+                if f"{w_attr}.{i}.bias" in sd:
+                    quad["bias"] = _np(sd[f"{w_attr}.{i}.bias"])
+                params[f"w{g}x{i}"] = quad
+                params[f"u{g}h{i}"] = np.stack(
+                    [_np(sd[f"{u_attr}.{i}.{c}_weight"])
+                     for c in ("r", "i", "j", "k")]
+                )
+            i += 1
+        return params, stats
+
     if class_name not in _GATE_TABLES:
         raise NotImplementedError(
             f"torch checkpoint import not implemented for {class_name!r} "
-            f"(supported: MLP, CNN, SincNet, {', '.join(_GATE_TABLES)})"
+            f"(supported: MLP, CNN, SincNet, QLSTM, {', '.join(_GATE_TABLES)})"
         )
 
     gates = _GATE_TABLES[class_name]
