@@ -139,3 +139,60 @@ def test_state_dict_import_qlstm():
     got = np.asarray(QLSTM(options=opts, inp_dim=8).apply(
         {"params": params}, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_migration_e2e_torch_trained_model_evaluates(tmp_path_factory):
+    """Capstone migration proof: train the REFERENCE torch MLP on synthetic
+    data, convert its checkpoint, then run it through the full tpukaldi
+    driver with arch_opt=none (zero updates) — the imported weights alone
+    must score far above chance on the dev split."""
+    import re
+
+    from tpukaldi.config import load_config
+    from tpukaldi.data import load_chunk
+    from tpukaldi.data.synth import generate_corpus, write_cfg
+    from tpukaldi.tools.run_exp import run_experiment
+
+    root = tmp_path_factory.mktemp("mig")
+    corpus = generate_corpus(str(root / "c"), n_utts=10, seed=5, noise=0.4)
+    out = str(root / "e")
+    cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=1,
+                    n_chunks=1, batch_size=32, cw=2, lr=0.1)
+    exp = load_config(cfg)
+    chunk = load_chunk(exp.datasets["synth_tr"], ["mfcc"], ["lab_cd"], 1000)
+    D, n_out = chunk.feats.shape[1], int(chunk.labs.max()) + 1
+
+    opts = {"dnn_lay": f"16,{n_out}", "dnn_drop": "0.0,0.0",
+            "dnn_use_batchnorm": "True,False", "dnn_use_laynorm": "False,False",
+            "dnn_use_laynorm_inp": "False", "dnn_use_batchnorm_inp": "False",
+            "dnn_act": "relu,softmax", "use_cuda": "False", "to_do": "train"}
+    torch.manual_seed(0)
+    ref = ref_nn.MLP(opts, D)
+    opt = torch.optim.SGD(ref.parameters(), lr=0.2)
+    X = torch.from_numpy(chunk.feats)
+    Y = torch.from_numpy(chunk.labs[:, 0].astype(np.int64))
+    ref.train()
+    for _ in range(30):
+        opt.zero_grad()
+        loss = torch.nn.functional.nll_loss(ref(X), Y)
+        loss.backward()
+        opt.step()
+
+    pkl = str(root / "final_MLP.pkl")
+    torch.save({"model_par": ref.state_dict()}, pkl)
+    ck = str(root / "pretrained.ckpt")
+    convert_checkpoint_file(pkl, ck, "MLP")
+
+    text = "\n".join(
+        l for l in open(cfg).read().splitlines()
+        if not l.startswith(("opt_momentum", "opt_weight_decay",
+                             "opt_dampening", "opt_nesterov")))
+    text = text.replace("dnn_lay = 16,N_out_lab_cd", f"dnn_lay = 16,{n_out}")
+    text = text.replace("arch_pretrain_file = none",
+                        f"arch_pretrain_file = {ck}", 1)
+    text = text.replace("arch_opt = sgd", "arch_opt = none", 1)
+    open(cfg, "w").write(text)
+    run_experiment(cfg)
+    res = open(os.path.join(out, "res.res")).read().strip()
+    verr = float(re.search(r"valid=\S+ loss=\S+ err=(\d+\.\d+)", res).group(1))
+    assert verr < 0.3, res
