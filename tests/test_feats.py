@@ -92,3 +92,23 @@ def test_pipeline_apply_cmvn_and_deltas(tmp_path):
     assert out.shape == (30, 39)
     expect = F.add_deltas(F.apply_cmvn(feats, stats), order=2, window=2)
     np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+
+def test_pipeline_splice_feats_edge_replication():
+    """splice-feats replicates edge frames (Kaldi semantics, distinct from
+    the chunk-level roll splice at data_io.py:228); asymmetric contexts."""
+    from tpukaldi.io import apply_pipeline, parse_pipeline
+
+    feats = np.arange(12, dtype=np.float32).reshape(6, 2)
+    stages = parse_pipeline(
+        "splice-feats --left-context=2 --right-context=1 ark:- ark:- |"
+        " copy-feats ark:- ark:- |"
+    )
+    out = apply_pipeline(stages, "u", feats)
+    assert out.shape == (6, 2 * 4)
+    # first row: frames [-2,-1,0,1] clip to [0,0,0,1]
+    np.testing.assert_array_equal(out[0], np.concatenate(
+        [feats[0], feats[0], feats[0], feats[1]]))
+    # last row: frames [3,4,5,6] clip to [3,4,5,5]
+    np.testing.assert_array_equal(out[-1], np.concatenate(
+        [feats[3], feats[4], feats[5], feats[5]]))
