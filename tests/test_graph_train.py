@@ -280,3 +280,39 @@ def test_multistep_matches_singles(setup):
     for a, b in zip(jax.tree_util.tree_leaves(p_single),
                     jax.tree_util.tree_leaves(jax.device_get(p))):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_bucket_padding_masked_from_cost(tmp_path):
+    """Bucket-padded loss/err must equal the unbucketed (reference-exact)
+    values: rows at t >= batch-max are excluded from the cost means
+    (ADVICE r1: padding inflated cost_nll/cost_err and biased class 0)."""
+    from tpukaldi.data import iter_seq_batches
+    from tpukaldi.train import make_eval_step
+
+    corpus = generate_corpus(str(tmp_path / "c"), n_utts=6, seed=5,
+                             min_len=30, max_len=42)
+    cfg = write_cfg(corpus, str(tmp_path / "e"), arch="GRU", hidden=16,
+                    batch_size=3, cw=0)
+    exp = load_config(cfg)
+    chunk = load_chunk(exp.datasets["synth_tr"], ["mfcc"], ["lab_cd"], 1000)
+    graph = build_graph(exp, chunk.fea_layout, chunk.lab_layout)
+
+    bucketed = list(iter_seq_batches(chunk, 3, pad_to_bucket=True))
+    exact = list(iter_seq_batches(chunk, 3, pad_to_bucket=False))
+    assert bucketed[0].feats.shape[0] > exact[0].feats.shape[0], (
+        "fixture must actually exercise bucket padding"
+    )
+    params, stats = init_graph(
+        graph, jax.random.key(0), jnp.asarray(bucketed[0].feats)
+    )
+    ev = make_eval_step(graph)
+    for bb, eb in zip(bucketed, exact):
+        assert bb.n_valid_t == eb.feats.shape[0]
+        lb, errb = ev(params, stats, jnp.asarray(bb.feats),
+                      jnp.asarray(bb.labs),
+                      jnp.asarray(bb.n_valid_t, dtype=jnp.int32))
+        le, erre = ev(params, stats, jnp.asarray(eb.feats),
+                      jnp.asarray(eb.labs),
+                      jnp.asarray(eb.feats.shape[0], dtype=jnp.int32))
+        np.testing.assert_allclose(float(lb), float(le), rtol=2e-5)
+        np.testing.assert_allclose(float(errb), float(erre), rtol=2e-5)

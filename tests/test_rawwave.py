@@ -129,3 +129,19 @@ def test_logmelfb_graph_end_to_end(raw_corpus):
         params, opt, loss, err = step(params, opt, x, y)
         errs.append(float(err))
     assert errs[-1] < errs[0], f"no learning: {errs[0]} -> {errs[-1]}"
+
+
+def test_fea_only_production_keeps_rates_differ(raw_corpus):
+    """Production (fea_only) raw-wave chunk: labels are absent so
+    lab_end_index == end_index, but rates_differ must still be True (from
+    the window config) so the forward pass converts sample lengths to
+    output-frame counts and keeps batch size 1 (ADVICE r1 medium)."""
+    chunk = load_chunk(_dataset(raw_corpus), ["wave"], [], MSL, fea_only=True)
+    assert chunk.labs.size == 0
+    assert np.array_equal(chunk.lab_end_index, chunk.end_index)
+    assert chunk.rates_differ
+    assert chunk.window_shift == SHIFT and chunk.window_size == WIN
+    # the posterior row count the forward writer will emit per utterance
+    for ln in chunk.sentence_lengths:
+        n_out = (int(ln) - WIN) // SHIFT + 1
+        assert n_out > 0

@@ -37,6 +37,10 @@ class SeqBatch:
     labs: np.ndarray  # (T, B, L) int32
     names: List[str]
     lengths: np.ndarray  # true sentence lengths (B,)
+    # the unbucketed batch-max length on the cost (label) time axis — the T
+    # the reference would have padded to; rows beyond it are bucket padding
+    # and must be masked out of loss/err (graph.compiler._masked_mean)
+    n_valid_t: Optional[int] = None
 
 
 @dataclass
@@ -92,7 +96,10 @@ def iter_seq_batches(
         labs = np.zeros((T_lab, batch_size, L), dtype=np.int64)
         for k in range(batch_size):
             ln = int(batch_lens[k])
-            n_zeros = T - ln
+            # offset ranges over the UNbucketed batch max (reference
+            # core.py:586-590); frames past max_len are bucket padding and
+            # masked out of the loss, so nothing may be placed there
+            n_zeros = max_len - ln
             # random-left-zero regularization is incompatible with separate
             # label time axes (alignment would break)
             off = (
@@ -116,6 +123,7 @@ def iter_seq_batches(
             labs=labs,
             names=chunk.names[sl],
             lengths=batch_lens,
+            n_valid_t=max_lab if rates_differ else max_len,
         )
 
 

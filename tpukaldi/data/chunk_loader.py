@@ -56,9 +56,12 @@ class ChunkData:
 
     @property
     def rates_differ(self) -> bool:
-        return self.lab_end_index is not self.end_index and not np.array_equal(
-            self.lab_end_index, self.end_index
-        )
+        # derived from the chunk window config, NOT from comparing label
+        # indices: in production (fea_only) mode labels are absent so
+        # lab_end_index == end_index even on the raw-waveform path, and the
+        # sample->frame posterior length conversion plus the forward
+        # batch-size=1 guard must still apply
+        return self.window_size > 1 or self.window_shift > 1
 
     @property
     def n_frames(self) -> int:

@@ -156,6 +156,31 @@ def _harmonize(a, b):
     return a, b
 
 
+def _row_mask(tb3, n_valid_t):
+    """Flattened (T*B,) mask selecting rows with t < n_valid_t, built from a
+    3D (T, B, ...) tensor's leading axes."""
+    T, B = tb3.shape[0], tb3.shape[1]
+    mask = (jnp.arange(T)[:, None] < n_valid_t).astype(jnp.float32)
+    return jnp.broadcast_to(mask, (T, B)).reshape(-1)
+
+
+def _masked_mean(vals, mask):
+    """Mean of per-row cost values, excluding bucket-padding rows.
+
+    The reference pads each batch only to its own max sentence length and
+    includes every (T_max, B) frame in the loss (zero-padding quirk,
+    core.py:581-598); bucketed T padding would add up to ~30-50% extra
+    label-0 frames on top, biasing gradients toward class 0 and inflating
+    the err metric that drives new-bob lr halving.  Masking rows with
+    t >= n_valid_t (the unbucketed batch max) restores the reference's
+    exact averaging while keeping shapes static for XLA.  `mask` is None
+    (or shape-mismatched, e.g. a frame-level batch) -> plain mean.
+    """
+    if mask is None or vals.shape[0] != mask.shape[0]:
+        return vals.mean()
+    return (vals * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
 def apply_graph(
     graph: GraphSpec,
     params: Dict,
@@ -166,14 +191,31 @@ def apply_graph(
     rngs: Optional[Dict[str, jax.Array]] = None,
     to_do: str = "train",
     lengths: Optional[jnp.ndarray] = None,
+    n_valid_t: Optional[jnp.ndarray] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict]:
     """Execute the compiled program.  Returns (outs, new_batch_stats).
 
     `to_do='forward'` stops after the last forward_out and skips costs
     (reference core.py:616-629 / utils.py:2341-2342).
+    `n_valid_t` (scalar, traced) is the unbucketed batch-max length on the
+    cost time axis; cost rows at t >= n_valid_t are bucket padding and are
+    masked out of the cost means (see `_masked_mean`).
     """
     outs = _feature_slices(graph, feats)
     new_stats = dict(batch_stats)
+
+    # bucket-padding cost masks: label-rate rows for nll/err, feature-rate
+    # rows for mse; selected per-cost by flattened-row-count match
+    lab_mask = (
+        _row_mask(labs, n_valid_t)
+        if n_valid_t is not None and labs is not None and labs.ndim == 3
+        else None
+    )
+    fea_mask = (
+        _row_mask(feats, n_valid_t)
+        if n_valid_t is not None and feats.ndim == 3
+        else None
+    )
 
     def get_label(name):
         col = graph.lab_layout[name]
@@ -214,16 +256,16 @@ def apply_graph(
                 continue
             logp = _flatten_out(outs[s.arg1])
             y = get_label(s.arg2)
-            outs[s.out] = -jnp.take_along_axis(
-                logp, y[:, None], axis=1
-            ).mean()
+            vals = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+            outs[s.out] = _masked_mean(vals, lab_mask)
         elif s.op == "cost_err":
             if to_do == "forward":
                 continue
             logp = _flatten_out(outs[s.arg1])
             y = get_label(s.arg2)
             pred = jnp.argmax(logp, axis=1)
-            outs[s.out] = jnp.mean((pred != y).astype(jnp.float32))
+            vals = (pred != y).astype(jnp.float32)
+            outs[s.out] = _masked_mean(vals, lab_mask)
         elif s.op == "concatenate":
             a, b = _harmonize(outs[s.arg1], outs[s.arg2])
             outs[s.out] = jnp.concatenate([a, b], axis=a.ndim - 1)
@@ -242,7 +284,16 @@ def apply_graph(
             outs[s.out] = outs[s.arg1] + float(s.arg2)
         elif s.op == "mse":
             a, b = _harmonize(outs[s.arg1], outs[s.arg2])
-            outs[s.out] = jnp.mean((a - b) ** 2)
+            sq = (a - b) ** 2
+            if sq.ndim == 3:
+                sq = sq.reshape(sq.shape[0] * sq.shape[1], -1)
+            vals = sq.mean(axis=1)
+            mask = (
+                fea_mask
+                if fea_mask is not None and vals.shape[0] == fea_mask.shape[0]
+                else lab_mask
+            )
+            outs[s.out] = _masked_mean(vals, mask)
         if (
             to_do == "forward"
             and graph.forward_outs

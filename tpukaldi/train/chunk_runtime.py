@@ -98,10 +98,18 @@ class ChunkRuntime:
 
     # ---------------- data ----------------
     def load_task_chunk(self, task: ChunkTask, max_seq_length) -> ChunkData:
+        from ..config.model_dsl import used_names
+
         ds = self.exp.datasets[task.dataset]
-        fea_names = [n for n in ds.features]
-        lab_names = [] if self.exp.production and task.phase == "forward" else list(
-            ds.labels
+        # load only the streams the [model] program references (reference
+        # dict_fea_lab_arch, utils.py:1889) — cfgs list all corpus streams
+        # but e.g. TIMIT_MLP_mfcc only computes over mfcc
+        fea_names = used_names(
+            self.exp.model, list(ds.features), "input"
+        ) or list(ds.features)
+        lab_names = [] if self.exp.production and task.phase == "forward" else (
+            used_names(self.exp.model, list(ds.labels), "label")
+            or list(ds.labels)
         )
         task.write_lst_files()
         # forward processes whole utterances (max_seq_length=-1,
@@ -284,12 +292,16 @@ class ChunkRuntime:
                     np.stack([b.feats for b in group])
                 )
                 labs_k = jax.numpy.asarray(np.stack([b.labs for b in group]))
+                n_valid_k = jax.numpy.asarray(
+                    [b.n_valid_t or b.feats.shape[0] for b in group],
+                    dtype=jax.numpy.int32,
+                ) if self.seq_model else None
                 rng, sub = jax.random.split(rng)
                 rngs_k = jax.random.split(sub, K)
                 (self.params, self.batch_stats, self.opt_states,
                  loss_k, err_k) = self._train_multistep(
                     self.params, self.batch_stats, self.opt_states,
-                    feats_k, labs_k, rngs_k,
+                    feats_k, labs_k, rngs_k, n_valid_k,
                 )
                 losses.append(loss_k)
                 errs.append(err_k)
@@ -307,6 +319,14 @@ class ChunkRuntime:
             i += 1
             feats = jax.numpy.asarray(batch.feats)
             labs = jax.numpy.asarray(batch.labs)
+            n_valid = (
+                jax.numpy.asarray(
+                    batch.n_valid_t or batch.feats.shape[0],
+                    dtype=jax.numpy.int32,
+                )
+                if getattr(batch, "n_valid_t", None) is not None
+                else None
+            )
             frames += (
                 feats.shape[0] * feats.shape[1]
                 if feats.ndim == 3
@@ -317,11 +337,11 @@ class ChunkRuntime:
                 (self.params, self.batch_stats, self.opt_states, loss, err
                  ) = self._train_step(
                     self.params, self.batch_stats, self.opt_states,
-                    feats, labs, sub,
+                    feats, labs, sub, n_valid,
                 )
             else:
                 loss, err = self._eval_step(
-                    self.params, self.batch_stats, feats, labs
+                    self.params, self.batch_stats, feats, labs, n_valid
                 )
             # keep loss/err as device scalars: a float() here would force a
             # host sync every step and serialize dispatch latency; deferring

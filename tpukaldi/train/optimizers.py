@@ -43,9 +43,17 @@ def make_optimizer(arch: ArchSpec) -> optax.GradientTransformation:
     if kind == "sgd":
         momentum = float(o.get("opt_momentum", 0.0))
         nesterov = bool(o.get("opt_nesterov", False))
-        # note: torch dampening only affects momentum accumulation; optax
-        # trace has no dampening — reference cfgs all use dampening 0.
-        parts.append(_torch_sgd(momentum, float(o.get("opt_dampening", 0.0)), nesterov))
+        dampening = float(o.get("opt_dampening", 0.0))
+        # torch dampening only affects momentum accumulation; optax trace
+        # has no dampening — refuse rather than silently training with
+        # different momentum math (reference cfgs all use dampening 0)
+        if momentum != 0.0 and dampening != 0.0:
+            raise ValueError(
+                f"arch {arch.name!r}: opt_dampening={dampening} is "
+                "unsupported (momentum dampening has no optax equivalent); "
+                "use opt_dampening=0"
+            )
+        parts.append(_torch_sgd(momentum, dampening, nesterov))
     elif kind == "adam":
         betas = o.get("opt_betas", [0.9, 0.999])
         parts.append(
@@ -62,15 +70,20 @@ def make_optimizer(arch: ArchSpec) -> optax.GradientTransformation:
             )
         )
     elif kind == "rmsprop":
+        # eps_in_sqrt=False reproduces torch RMSprop's g/(sqrt(v)+eps)
+        # placement (optax default computes g/sqrt(v+eps), which diverges
+        # up to ~10x on small-gradient coordinates while v is near zero)
         parts.append(
             optax.scale_by_rms(
                 decay=float(o.get("opt_alpha", 0.99)),
                 eps=float(o.get("opt_eps", 1e-8)),
+                eps_in_sqrt=False,
             )
             if not bool(o.get("opt_centered", False))
             else optax.scale_by_stddev(
                 decay=float(o.get("opt_alpha", 0.99)),
                 eps=float(o.get("opt_eps", 1e-8)),
+                eps_in_sqrt=False,
             )
         )
         momentum = float(o.get("opt_momentum", 0.0))

@@ -23,10 +23,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..graph.compiler import GraphSpec, apply_graph
 
 
-def _loss_fn(params, graph, batch_stats, feats, labs, rngs):
+def _loss_fn(params, graph, batch_stats, feats, labs, rngs, n_valid_t):
     outs, new_stats = apply_graph(
         graph, params, batch_stats, feats, labs, train=True, rngs=rngs,
-        to_do="train",
+        to_do="train", n_valid_t=n_valid_t,
     )
     return outs["loss_final"], (outs["err_final"], new_stats)
 
@@ -34,7 +34,8 @@ def _loss_fn(params, graph, batch_stats, feats, labs, rngs):
 def _make_step_body(graph, optimizers, frozen, mesh):
     frozen = frozen or {}
 
-    def step(params, batch_stats, opt_states, feats, labs, rng):
+    def step(params, batch_stats, opt_states, feats, labs, rng,
+             n_valid_t=None):
         if mesh is not None:
             batch_axis = 1 if feats.ndim == 3 else 0
             spec = [None] * feats.ndim
@@ -50,7 +51,7 @@ def _make_step_body(graph, optimizers, frozen, mesh):
         rngs = {"dropout": rng}
         (loss, (err, new_stats)), grads = jax.value_and_grad(
             _loss_fn, has_aux=True
-        )(params, graph, batch_stats, feats, labs, rngs)
+        )(params, graph, batch_stats, feats, labs, rngs, n_valid_t)
         new_params = dict(params)
         new_opt_states = dict(opt_states)
         for name in params:
@@ -101,16 +102,22 @@ def make_train_multistep(
     rngs (K,)) -> (params, stats, opts, losses (K,), errs (K,))."""
     body = _make_step_body(graph, optimizers, frozen, mesh)
 
-    def multi(params, batch_stats, opt_states, feats_k, labs_k, rngs_k):
+    def multi(params, batch_stats, opt_states, feats_k, labs_k, rngs_k,
+              n_valid_k=None):
         def scan_body(carry, xs):
             p, s, o = carry
-            f, l, r = xs
-            p, s, o, loss, err = body(p, s, o, f, l, r)
+            f, l, r, nv = xs
+            p, s, o, loss, err = body(p, s, o, f, l, r, nv)
             return (p, s, o), (loss, err)
 
+        if n_valid_k is None:
+            K = feats_k.shape[0]
+            n_valid_k = jax.numpy.full(
+                (K,), feats_k.shape[1], dtype=jax.numpy.int32
+            )
         (p, s, o), (losses, errs) = jax.lax.scan(
             scan_body, (params, batch_stats, opt_states),
-            (feats_k, labs_k, rngs_k),
+            (feats_k, labs_k, rngs_k, n_valid_k),
         )
         return p, s, o, losses, errs
 
@@ -119,7 +126,7 @@ def make_train_multistep(
 
 
 def make_eval_step(graph: GraphSpec, mesh: Optional[Mesh] = None):
-    def step(params, batch_stats, feats, labs):
+    def step(params, batch_stats, feats, labs, n_valid_t=None):
         if mesh is not None:
             batch_axis = 1 if feats.ndim == 3 else 0
             spec = [None] * feats.ndim
@@ -127,8 +134,14 @@ def make_eval_step(graph: GraphSpec, mesh: Optional[Mesh] = None):
             feats = jax.lax.with_sharding_constraint(
                 feats, NamedSharding(mesh, P(*spec))
             )
+            lspec = [None] * labs.ndim
+            lspec[batch_axis] = "data"
+            labs = jax.lax.with_sharding_constraint(
+                labs, NamedSharding(mesh, P(*lspec))
+            )
         outs, _ = apply_graph(
-            graph, params, batch_stats, feats, labs, train=False, to_do="valid"
+            graph, params, batch_stats, feats, labs, train=False,
+            to_do="valid", n_valid_t=n_valid_t,
         )
         return outs["loss_final"], outs["err_final"]
 
