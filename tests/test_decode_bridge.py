@@ -142,3 +142,128 @@ def test_cmd_launcher_prefix(tmp_path):
                     graph=str(tmp_path))
     run_decode(exp, lab, "o", "d", [str(ark)], str(tmp_path / "log"))
     assert "decode.sh" in (tmp_path / "launched.txt").read_text()
+
+
+STUB_DETAIL = """#!/bin/bash
+# decode_dnn.sh stub with full kaldi compute-wer detail lines + call marker
+conf=$1; out=$2; arks=$3
+mkdir -p "$out"
+echo run >> "$out/../decode_calls.txt"
+grep -q "alidir" "$conf" || exit 1
+for a in $arks; do [ -f "$a" ] || exit 2; done
+echo "%WER 18.10 [ 1234 / 6820, 210 ins, 310 del, 714 sub ]" > "$out/wer_4"
+echo "%WER 17.20 [ 1173 / 6820, 198 ins, 295 del, 680 sub ]" > "$out/wer_5"
+exit 0
+"""
+
+
+def _write_stub(tmp_path, text=STUB_DETAIL):
+    script = tmp_path / "decode_dnn.sh"
+    script.write_text(text)
+    script.chmod(0o755)
+    return script
+
+
+def _decoding_section(tmp_path):
+    return f"""
+[decoding]
+decoding_script_folder = {tmp_path}
+decoding_script = decode_dnn.sh
+decoding_proto = proto/decoding.proto
+beam = 13.0
+acwt = 0.2
+"""
+
+
+def test_full_wer_line_in_res(tmp_path):
+    """res.res carries the reference best_wer.sh content: the full best line
+    with ins/del/sub detail and the per-LM-weight file it came from."""
+    from tpukaldi.data.synth import generate_corpus, write_cfg
+    from tpukaldi.tools.run_exp import run_experiment
+
+    _write_stub(tmp_path)
+    corpus = generate_corpus(str(tmp_path / "c"), n_utts=6, seed=8)
+    cfg = write_cfg(corpus, str(tmp_path / "e"), arch="MLP", n_epochs=1,
+                    n_chunks=1, batch_size=64)
+    cfg2 = tmp_path / "dec.cfg"
+    cfg2.write_text(open(cfg).read() + _decoding_section(tmp_path))
+    run_experiment(str(cfg2))
+    res = open(tmp_path / "e" / "res.res").read()
+    assert "%WER 17.20 [ 1173 / 6820, 198 ins, 295 del, 680 sub ]" in res
+    assert "wer_5" in res
+
+
+def test_decode_resume_ledger(tmp_path):
+    """decoding_<data>_<out>.info gates the decode stage: a restart after
+    decoding runs ZERO decode subprocesses and appends no duplicate WER
+    line (the reference checks this file at run_exp.py:548,592)."""
+    from tpukaldi.data.synth import generate_corpus, write_cfg
+    from tpukaldi.tools.run_exp import run_experiment
+
+    _write_stub(tmp_path)
+    corpus = generate_corpus(str(tmp_path / "c"), n_utts=6, seed=8)
+    cfg = write_cfg(corpus, str(tmp_path / "e"), arch="MLP", n_epochs=1,
+                    n_chunks=1, batch_size=64)
+    cfg2 = tmp_path / "dec.cfg"
+    cfg2.write_text(open(cfg).read() + _decoding_section(tmp_path))
+    run_experiment(str(cfg2))
+    ef = tmp_path / "e" / "exp_files"
+    info = ef / "decoding_synth_te_out_dnn1.info"
+    assert info.exists(), os.listdir(ef)
+    assert "wer=17.2" in info.read_text()
+    calls = tmp_path / "e" / "decode_calls.txt"
+    assert calls.read_text().count("run") == 1
+    # restart: everything ledgered -> no new decode call, no duplicate WER
+    run_experiment(str(cfg2))
+    assert calls.read_text().count("run") == 1
+    res = open(tmp_path / "e" / "res.res").read()
+    assert res.count("%WER") == 1
+
+
+def test_production_decode_with_stub(tmp_path):
+    """Production (lab_name=none) decoding: data/graphdir come from the
+    lab_data_folder/lab_graph kept in the none block, alidir is graphdir's
+    parent, and the decode script runs (reference run_exp.py:571-583)."""
+    import re as _re
+
+    from tpukaldi.data.synth import generate_corpus, write_cfg
+    from tpukaldi.tools.run_exp import run_experiment
+
+    _write_stub(tmp_path)
+    corpus = generate_corpus(str(tmp_path / "c"), n_utts=6, seed=8)
+    out = str(tmp_path / "e")
+    cfg = write_cfg(corpus, out, arch="MLP", n_epochs=1, n_chunks=1,
+                    batch_size=64)
+    cfg2 = tmp_path / "dec.cfg"
+    cfg2.write_text(open(cfg).read() + _decoding_section(tmp_path))
+    run_experiment(str(cfg2))  # trains and writes final ckpts
+
+    graph_dir = tmp_path / "model" / "graph"
+    graph_dir.mkdir(parents=True)
+    data_dir = tmp_path / "c" / "test"
+    # rewrite dataset3's lab block to the production shape
+    text = cfg2.read_text()
+    head, _, tail = text.partition("[dataset3]")
+    tail = _re.sub(
+        r"lab = lab_name=lab_cd\n(\tlab_\w+=.*\n)+",
+        f"lab = lab_name=none\n\tlab_data_folder={data_dir}\n"
+        f"\tlab_graph={graph_dir}\n",
+        tail,
+        count=1,
+    )
+    prod_cfg = tmp_path / "prod.cfg"
+    prod_cfg.write_text(head + "[dataset3]" + tail)
+    # clear forward + decode ledgers so production redoes both stages
+    ef = tmp_path / "e" / "exp_files"
+    for fn in os.listdir(ef):
+        if fn.startswith(("forward_", "decoding_")):
+            os.remove(os.path.join(ef, fn))
+    exp = run_experiment(str(prod_cfg))
+    assert exp.production
+    conf = (tmp_path / "e" / "decoding_synth_te_out_dnn1.conf").read_text()
+    assert f"data = {data_dir}" in conf
+    assert f"graphdir = {graph_dir}" in conf
+    assert f"alidir = {tmp_path / 'model'}" in conf  # graphdir's parent
+    calls = tmp_path / "e" / "decode_calls.txt"
+    assert calls.read_text().count("run") == 2  # labeled run + production run
+    assert (ef / "decoding_synth_te_out_dnn1.info").exists()

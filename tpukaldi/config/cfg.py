@@ -59,6 +59,10 @@ class DatasetSpec:
     features: Dict[str, FeatureSpec]
     labels: Dict[str, LabelSpec]
     n_chunks: int
+    # production decode targets: a `lab_name=none` block still carries
+    # lab_data_folder / lab_graph, which the decode stage needs even though
+    # no labels are loaded (reference run_exp.py:571-583)
+    prod_lab: Optional[LabelSpec] = None
 
 
 @dataclass
@@ -245,6 +249,27 @@ def parse_lab_field(block: str, strict_paths: bool = True) -> Dict[str, LabelSpe
             n_out=int(group["lab_nout"]) if "lab_nout" in group else None,
         )
     return labs
+
+
+def parse_prod_lab(block: str) -> Optional[LabelSpec]:
+    """Extract decode targets from a `lab_name=none` production block.
+
+    The reference derives the decode conf's data/graphdir from the
+    lab_data_folder/lab_graph fields that remain in the lab block when
+    lab_name=none, and alidir from graphdir's parent directory
+    (run_exp.py:571-583; cfg shape: TIMIT_MLP_fbank_prod.cfg)."""
+    for group in _parse_kv_block(block):
+        if group.get("lab_name") == "none":
+            graph = group.get("lab_graph", "")
+            return LabelSpec(
+                name="none",
+                folder=os.path.dirname(os.path.abspath(graph)) if graph else "",
+                opts="",
+                count_file="none",
+                data_folder=group.get("lab_data_folder", ""),
+                graph=graph,
+            )
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -509,6 +534,7 @@ def load_config(
             features=feats,
             labels=labs,
             n_chunks=int(config[sec]["n_chunks"]),
+            prod_lab=parse_prod_lab(lab_block),
         )
     for group, names in (("train_with", train_with), ("valid_with", valid_with),
                          ("forward_with", forward_with)):

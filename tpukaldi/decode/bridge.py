@@ -82,26 +82,46 @@ def run_decode(
     return out_dec_folder
 
 
-_WER_RE = re.compile(r"%WER\s+(\d+\.?\d*)")
+# kaldi compute-wer line: "%WER 18.10 [ 1234 / 6819, 123 ins, 456 del, ...]"
+_KALDI_WER_RE = re.compile(r"%[WS]ER\s+(\d+\.?\d*)")
+# sclite .sys summary row: "| Sum/Avg | 192 7215 | 82.1 12.6 5.3 2.6 20.5 ...|"
+_SCLITE_RE = re.compile(
+    r"(?:Mean|Sum/Avg)\s*\|\s*\S+\s+\S+\s*\|\s*\S+\s+\S+\s+\S+\s+\S+\s+(\S+)\s+\S+\s*\|"
+)
 
 
-def harvest_wer(decode_dir: str) -> Optional[Dict[str, float]]:
-    """Native replacement for best_wer.sh: scan scoring outputs
-    (wer_* / score_*/ *.sys) and return the best WER over LM weights."""
-    candidates = glob.glob(os.path.join(decode_dir, "wer_*")) + glob.glob(
-        os.path.join(decode_dir, "score_*", "*.sys")
-    )
+def harvest_wer(decode_dir: str) -> Optional[Dict[str, object]]:
+    """Native replacement for check_res_dec.sh -> best_wer.sh: scan the
+    scoring outputs (kaldi `wer_<lmwt>` files and sclite `score_*/ *.sys`
+    summaries), pick the best WER over LM weights, and return the FULL best
+    line — including ins/del/sub detail — plus the file it came from
+    (reference best_wer.sh:20-29 reports the whole line, not just the
+    number)."""
     best = None
-    for path in candidates:
+
+    def consider(wer: float, line: str, path: str):
+        nonlocal best
+        if best is None or wer < best["wer"]:
+            best = {"wer": wer, "file": path, "line": f"{line.strip()} {path}"}
+
+    for path in sorted(glob.glob(os.path.join(decode_dir, "wer_*"))):
         try:
             with open(path, errors="ignore") as f:
-                text = f.read()
+                for line in f:
+                    m = _KALDI_WER_RE.search(line)
+                    if m:
+                        consider(float(m.group(1)), line, path)
         except OSError:
             continue
-        for m in _WER_RE.finditer(text):
-            wer = float(m.group(1))
-            if best is None or wer < best["wer"]:
-                best = {"wer": wer, "file": path}
-    if best is None:
-        return None
+    for path in sorted(glob.glob(os.path.join(decode_dir, "score_*", "*.sys"))):
+        try:
+            with open(path, errors="ignore") as f:
+                for line in f:
+                    m = _SCLITE_RE.search(line)
+                    if m:
+                        consider(
+                            float(m.group(1)), f"%WER {m.group(1)} {line}", path
+                        )
+        except OSError:
+            continue
     return best

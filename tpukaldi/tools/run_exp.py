@@ -343,17 +343,38 @@ def _run_experiment(
         if not exp.forward.require_decoding[i]:
             continue
         ds = exp.datasets[ds_name]
-        if not ds.labels:
+        # production: lab_name=none still carries lab_data_folder/lab_graph
+        # for the decode conf; alidir = graphdir's parent
+        # (reference run_exp.py:571-583)
+        lab = (
+            next(iter(ds.labels.values())) if ds.labels else ds.prod_lab
+        )
+        if lab is None:
             continue
-        lab = next(iter(ds.labels.values()))
+        # decode-stage ledger (decoding_<data>_<out>.info): skip the decode
+        # script AND the ark cleanup on resume, so a restart after decoding
+        # never re-runs latgen or re-deletes arks (the reference gates on
+        # this file at run_exp.py:548,592 but never writes it — always
+        # re-decoding; writing it here makes the resume contract real)
+        dec_info = os.path.join(
+            out_folder, "exp_files", f"decoding_{ds_name}_{out_name}.info"
+        )
+        if os.path.exists(dec_info):
+            continue
         dec_dir = run_decode(exp, lab, out_name, ds_name, arks, log_file)
         if dec_dir:
             best = harvest_wer(dec_dir)
             if best:
-                line = f"%WER {best['wer']} [{key}] -> {best['file']}"
+                line = best["line"]
                 with open(res_file, "a") as f:
                     f.write(line + "\n")
                 _log(out_folder, line)
+            with open(dec_info, "w") as f:
+                f.write("[decoding]\n")
+                f.write(f"decode_folder={dec_dir}\n")
+                if best:
+                    f.write(f"wer={best['wer']}\n")
+                    f.write(f"wer_line={best['line']}\n")
             # save_out_file=False drops the posterior arks after decoding
             # (reference run_exp.py:611-615)
             if not exp.forward.save_out_file[i]:
