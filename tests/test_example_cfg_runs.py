@@ -59,9 +59,16 @@ def kaldi_tree(tmp_path_factory):
                 cmvn[spk] = cmvn.get(spk, 0) + compute_cmvn_stats(fea)
                 if split == "train":
                     counts += np.bincount(labels, minlength=N_CLASSES)
-        with open(root / "mfcc" / f"cmvn_{split}.ark", "wb") as cf:
-            for spk, st in cmvn.items():
-                write_mat(cf, st, key=spk)
+        # the shipped cfgs list all three corpus streams (mfcc/fbank/fmllr,
+        # reference cfg shape); alias the same ark for each
+        import shutil
+
+        for stream in ("mfcc", "fbank", "fmllr"):
+            shutil.copyfile(d / "feats.scp", d / f"feats_{stream}.scp")
+            (root / stream).mkdir(exist_ok=True)
+            with open(root / stream / f"cmvn_{split}.ark", "wb") as cf:
+                for spk, st in cmvn.items():
+                    write_mat(cf, st, key=spk)
     save_counts(np.maximum(counts, 1.0), str(root / "counts"))
     return root
 

@@ -65,9 +65,15 @@ def kaldi_tree(tmp_path_factory):
                 cmvn[spk] = cmvn.get(spk, 0) + compute_cmvn_stats(fea)
         with gzip.open(alidir / "ali.1.gz", "wb") as f:
             f.write(ali_buf.getvalue())
-        with open(root / "fmllr" / f"cmvn_{split}.ark", "wb") as cf:
-            for spk, st in cmvn.items():
-                write_mat(cf, st, key=spk)
+        # cfgs list all three corpus streams; alias the same ark for each
+        import shutil
+
+        for stream in ("mfcc", "fbank", "fmllr"):
+            shutil.copyfile(d / "feats.scp", d / f"feats_{stream}.scp")
+            (root / stream).mkdir(exist_ok=True)
+            with open(root / stream / f"cmvn_{split}.ark", "wb") as cf:
+                for spk, st in cmvn.items():
+                    write_mat(cf, st, key=spk)
     return root
 
 
