@@ -237,7 +237,9 @@ def parse_lab_field(block: str, strict_paths: bool = True) -> Dict[str, LabelSpe
         if name == "none":  # production mode marker
             continue
         folder = group.get("lab_folder", "")
-        if strict_paths and folder and not os.path.isdir(folder):
+        # a lab_folder may be an alignment directory OR a pre-dumped label
+        # ark file (data.labels.read_label_stream resolution order)
+        if strict_paths and folder and not os.path.exists(folder):
             raise ConfigError(f"lab_folder {folder!r} for label {name!r} does not exist")
         labs[name] = LabelSpec(
             name=name,

@@ -53,8 +53,10 @@ class _CudnnBase(nn.Module):
         dropout = float(o.get("dropout", 0.0))
         bidir = to_bool(o.get("bidirectional", "False"))
         nonlinearity = o.get("nonlinearity", "tanh")
-        if to_bool(o.get("batch_first", "False")):
-            x = x.transpose(1, 0, 2)
+        # quirk-compatible: the reference never passes batch_first to the
+        # torch RNN — the flag ONLY gates orthogonal hh init
+        # (neural_networks.py:178-183); data stays (T, B, D) throughout
+        ortho_hh = to_bool(o.get("batch_first", "False"))
 
         G = self.N_GATES
         K = 2 if bidir else 1  # directions with SEPARATE weights (as torch)
@@ -68,7 +70,9 @@ class _CudnnBase(nn.Module):
                 f"w_ih{layer}", torch_linear_uniform(hidden), (K, D, G * hidden)
             )
             w_hh = self.param(
-                f"w_hh{layer}", orthogonal_init(), (K, hidden, G * hidden)
+                f"w_hh{layer}",
+                orthogonal_init() if ortho_hh else torch_linear_uniform(hidden),
+                (K, hidden, G * hidden),
             )
             ff = jnp.einsum("tkbd,kdh->tkbh", x2, w_ih)
             if use_bias:
@@ -105,8 +109,6 @@ class _CudnnBase(nn.Module):
             if layer < n_layers - 1:
                 h = nn.Dropout(rate=dropout, deterministic=not train)(h)
             x = h
-        if to_bool(o.get("batch_first", "False")):
-            x = x.transpose(1, 0, 2)
         return x
 
 
