@@ -217,3 +217,21 @@ def test_gru_model_pallas_impl_matches_scan():
     np.testing.assert_allclose(
         np.asarray(out_pallas), np.asarray(out_scan), rtol=1e-5, atol=1e-5
     )
+
+
+def test_fused_pallas_backward_matches_scan_backward():
+    """The fused reverse-streamed pallas backward produces the same
+    (dff, du, dmask) as the hoisted scan backward it replaced."""
+    from tpukaldi.kernels.ligru import _bwd, _bwd_scan, _fwd
+
+    ff, u, mask = _inputs(5, mask_p=0.25)
+    rng = np.random.default_rng(7)
+    g = jnp.asarray(rng.standard_normal((T, B, H)), jnp.float32)
+    _, res = _fwd(ff, u, mask, True)
+    d_pallas = _bwd(True, res, g)
+    d_scan = _bwd_scan(True, res, g)
+    for name, a, b in zip(("dff", "du", "dmask"), d_pallas, d_scan):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )

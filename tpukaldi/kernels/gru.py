@@ -16,6 +16,9 @@ choice (relu | tanh), matching the zoo's act factory.
 Backward (custom VJP): gates rematerialized with two hoisted big matmuls
 (h_prev @ Uzr and (r*h_prev) @ Uh); the reverse scan carries dh with two
 small matmuls per step; dUzr/dUh/dmask are post-scan contractions.
+(A fused pallas backward like kernels/ligru.py's is VMEM-borderline here
+— 6H^2 resident floats for Uzr/Uh + their grads — so the hoisted scan
+stays; the flagship liGRU path is where the fused kernel pays.)
 """
 
 from __future__ import annotations

@@ -16,10 +16,14 @@ resident in VMEM, h lives in a VMEM scratch that persists across the
 (sequential) grid steps, and the ff gate blocks stream HBM->VMEM via the
 pallas pipeline, TIME_BLOCK steps per grid iteration.
 
-Backward: custom VJP — the forward saves (ff, u, mask, h_seq) and the
-backward is a reverse-time scan that rematerializes the gates from the
-saved hidden states (one extra (B,H)x(H,2H) matmul per step) and
-accumulates dU on the fly.  A fused pallas backward is a follow-up.
+Backward: custom VJP with a FUSED reverse-time pallas kernel — the forward
+saves (ff, u, mask, h_seq); the backward streams time blocks in reverse
+through VMEM with U resident, rematerializes the gates from the saved
+hidden states (one (B,H)x(H,2H) MXU matmul per step), carries dh in a VMEM
+scratch across grid steps, and accumulates dU/dmask directly into their
+(VMEM-resident, constant-index) output blocks.  Training time is dominated
+by backward, so this kernel is where the flagship's frames/sec/chip lives.
+A lax.scan backward remains as the CPU/parity fallback.
 """
 
 from __future__ import annotations
@@ -99,8 +103,134 @@ def _fwd(ff, u, mask, interpret):
     return h, (ff, u, mask, h)
 
 
+def _ligru_bwd_kernel(ff_ref, hp_ref, g_ref, u_ref, mask_ref,
+                      dff_ref, du_ref, dmask_ref, dh_ref):
+    """One REVERSE time block, split into MXU-friendly phases:
+
+    1. gate rematerialization for the WHOLE block as one (tb*B, H) x
+       (H, 2H) matmul — it depends only on saved h_prev, not the dh chain;
+    2. the truly sequential dh chain: elementwise + one (B, 2H) x (2H, H)
+       matmul per step;
+    3. dU accumulation as one (H, tb*B) x (tb*B, 2H) contraction over the
+       block's dA written in phase 2 (read back from the VMEM-resident
+       output block).
+    """
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        du_ref[:] = jnp.zeros_like(du_ref)
+        dmask_ref[:] = jnp.zeros_like(dmask_ref)
+
+    H = dh_ref.shape[-1]
+    tb, B = ff_ref.shape[0], ff_ref.shape[1]
+    mask = mask_ref[:]
+    u = u_ref[:]
+
+    # phase 1: block-wide gate rematerialization (one big MXU call)
+    hp_flat = hp_ref[:].reshape(tb * B, H)
+    r = jnp.dot(hp_flat, u, preferred_element_type=jnp.float32)
+    r = r.reshape(tb, B, 2 * H)
+    a_h = ff_ref[:][..., :H] + r[..., :H]
+    zt_all = jax.nn.sigmoid(ff_ref[:][..., H:] + r[..., H:])
+    relu_all = jnp.maximum(a_h, 0.0)
+    apos_all = (a_h > 0.0).astype(jnp.float32)
+
+    # phase 2: sequential dh chain — a Python loop keeps the time indices
+    # static (dynamic_slice on VALUES is not lowerable; tb is small)
+    dmask_blk = jnp.zeros((B, H), jnp.float32)
+    for k in range(tb - 1, -1, -1):  # walk the block backwards in time
+        hp = hp_ref[k]
+        zt = zt_all[k]
+        relu_ah = relu_all[k]
+        hc = relu_ah * mask
+        gh = g_ref[k] + dh_ref[:]
+        dz = gh * (hp - hc)
+        da_z = dz * zt * (1.0 - zt)
+        dhc = gh * (1.0 - zt)
+        da_h = dhc * mask * apos_all[k]
+        da = jnp.concatenate([da_h, da_z], axis=1)  # (B, 2H)
+        dff_ref[k] = da
+        # dh chain: (B, 2H) x (H, 2H)^T via contraction on the 2H axis
+        dh_ref[:] = gh * zt + jax.lax.dot_general(
+            da, u, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dmask_blk = dmask_blk + dhc * relu_ah
+    dmask_ref[:] += dmask_blk
+
+    # phase 3: dU += hp_block^T dA_block (one MXU call per block)
+    du_ref[:] += jax.lax.dot_general(
+        hp_flat, dff_ref[:].reshape(tb * B, 2 * H),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _ligru_pallas_bwd_impl(ff, hp, g, u, mask, *, interpret=False):
+    """Reverse-streamed fused backward: returns (dff, du, dmask)."""
+    T, B, H2 = ff.shape
+    H = H2 // 2
+    tb = TIME_BLOCK
+    T_pad = ((T + tb - 1) // tb) * tb
+    if T_pad != T:
+        # zero-padded TRAILING steps are processed first (reverse order)
+        # with dh=0 and g=0, so every derivative they produce is zero
+        pad = ((0, T_pad - T), (0, 0), (0, 0))
+        ff, hp, g = jnp.pad(ff, pad), jnp.pad(hp, pad), jnp.pad(g, pad)
+    n = T_pad // tb
+    grid = (n,)
+    rev = lambda i: (n - 1 - i, 0, 0)
+    fixed = lambda i: (0, 0)
+    dff, du, dmask = pl.pallas_call(
+        _ligru_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, B, 2 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 2 * H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, B, 2 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 2 * H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, B, 2 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 2 * H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * T_pad * B * H * 2 * H + 16 * T_pad * B * H,
+            bytes_accessed=4 * (T_pad * B * 6 * H + 2 * H * 2 * H + 2 * B * H),
+            transcendentals=T_pad * B * H,
+        ),
+    )(
+        ff.astype(jnp.float32), hp.astype(jnp.float32),
+        g.astype(jnp.float32), u.astype(jnp.float32),
+        mask.astype(jnp.float32),
+    )
+    return dff[:T], du, dmask
+
+
 def _bwd(interpret, res, g):
-    """Reverse-time backward with everything hoistable hoisted:
+    """Fused pallas reverse-time backward (scan fallback in
+    `_bwd_scan` for parity tests)."""
+    ff, u, mask, h_seq = res
+    T, B, H = h_seq.shape
+    h_prev = jnp.concatenate(
+        [jnp.zeros((1, B, H), ff.dtype), h_seq[:-1]], axis=0
+    )
+    return _ligru_pallas_bwd_impl(ff, h_prev, g, u, mask,
+                                  interpret=interpret)
+
+
+def _bwd_scan(interpret, res, g):
+    """Reverse-time scan backward with everything hoistable hoisted:
 
     - gate rematerialization (h_prev @ U) runs as ONE (T*B, H) x (H, 2H)
       MXU matmul before the scan;

@@ -15,6 +15,12 @@ Cell semantics are the reference's custom LSTM (neural_networks.py:457-469):
 Backward (custom VJP): gates rematerialized from the saved h sequence with
 one hoisted (T*B, H) x (H, 4H) matmul; the reverse scan carries only
 (dh, dc); dU/dmask are single post-scan contractions.
+
+A liGRU-style fused pallas backward (kernels/ligru.py::_ligru_bwd_kernel)
+is deliberately NOT used here: with 4 gates the resident U + dU blocks
+alone cost 8H^2 floats (~9.7 MB at H=550) and the streamed ff/dff blocks
+push past the ~16 MB VMEM budget; the hoisted scan keeps every matmul
+MXU-shaped without that ceiling.
 """
 
 from __future__ import annotations
