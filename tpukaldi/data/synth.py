@@ -91,6 +91,24 @@ def generate_corpus(
     )
 
 
+def load_corpus(root: str, splits=("train", "dev", "test")) -> SynthCorpus:
+    """Reconstruct the SynthCorpus handle for an already-generated tree
+    (e.g. the cached TIMIT-scale bench corpus) without regenerating data."""
+    from ..io import load_counts, read_mat_ark
+
+    counts_file = os.path.join(root, "counts")
+    n_classes = int(load_counts(counts_file).shape[0])
+    first = next(read_mat_ark(os.path.join(root, splits[0], "feats.ark")))
+    return SynthCorpus(
+        root=root,
+        feats_scp={s: os.path.join(root, s, "feats.scp") for s in splits},
+        lab_folder={s: os.path.join(root, s) for s in splits},
+        counts_file=counts_file,
+        n_classes=n_classes,
+        feat_dim=int(first[1].shape[1]),
+    )
+
+
 MLP_CFG_TEMPLATE = """
 [cfg_proto]
 cfg_proto = proto/global.proto

@@ -51,3 +51,41 @@ def init_distributed(
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-process (multi-host) SPMD placement: after jax.distributed
+# initialization each process only *addresses* its local devices, so global
+# arrays are assembled from per-host shards instead of device_put
+# ---------------------------------------------------------------------------
+
+
+def global_batch_from_host_shards(array, mesh: Mesh, batch_axis: int = 0):
+    """Each host passes ITS shard of the batch (rows it loaded); returns the
+    global jax.Array sharded over the mesh 'data' axis."""
+    from jax.experimental import multihost_utils
+
+    spec = [None] * array.ndim
+    spec[batch_axis] = "data"
+    return multihost_utils.host_local_array_to_global_array(
+        np.asarray(array), mesh, P(*spec)
+    )
+
+
+def replicate_global(tree, mesh: Mesh):
+    """Replicate a pytree over a (possibly multi-process) mesh.  Every host
+    must pass the same values — guaranteed by seeded init (the framework's
+    determinism contract, SURVEY.md §5.2)."""
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda x: multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, P()
+        ),
+        tree,
+    )
+
+
+def scalar_from_global(x) -> float:
+    """Read a replicated global scalar on this host."""
+    return float(jax.device_get(x.addressable_data(0)))
