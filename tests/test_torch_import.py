@@ -196,3 +196,67 @@ def test_migration_e2e_torch_trained_model_evaluates(tmp_path_factory):
     res = open(os.path.join(out, "res.res")).read().strip()
     verr = float(re.search(r"valid=\S+ loss=\S+ err=(\d+\.\d+)", res).group(1))
     assert verr < 0.3, res
+
+
+def test_pase_native_forward_and_checkpoint_import(tmp_path):
+    """Native PASE forward runs WITHOUT torch; a pase-style torch state
+    dict (fabricated with the right shapes) converts onto it and changes
+    the output (i.e. the imported weights are actually used)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpukaldi.compat.torch_import import convert_pase_checkpoint
+    from tpukaldi.models.pase import PASE
+
+    cfgp = tmp_path / "pase.json"
+    cfg = {"emb_dim": 12, "fmaps": [8, 16], "kwidths": [5, 5],
+           "strides": [10, 16], "sinc_out": 8, "sinc_kwidth": 31}
+    cfgp.write_text(json.dumps(cfg))
+    opts = {"pase_cfg": str(cfgp)}
+    m = PASE(options=opts, inp_dim=1)
+    assert m.compute_out_dim(opts, 1) == 12
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((480, 2, 1)), jnp.float32)
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    out0 = m.apply(v, x, train=False)
+    assert out0.shape == (480 // 160, 2, 12)
+
+    # fabricate a pase-shaped torch state dict (appearance order = arch
+    # order; torch Conv1d weights are (out, in, k))
+    def bn(prefix, c, sd):
+        sd[f"{prefix}.weight"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{prefix}.bias"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{prefix}.running_var"] = np.ones(c, np.float32)
+        sd[f"{prefix}.num_batches_tracked"] = np.array(7)
+
+    sd = {}
+    sd["frontend.sinc.low_hz_"] = (
+        rng.uniform(30, 4000, (8, 1)).astype(np.float32))
+    sd["frontend.sinc.band_hz_"] = (
+        rng.uniform(50, 400, (8, 1)).astype(np.float32))
+    bn("frontend.bn0", 8, sd)
+    sd["frontend.act0.weight"] = np.full(8, 0.1, np.float32)
+    chans = [(8, 8, 5), (16, 8, 5)]
+    for i, (o, inp, k) in enumerate(chans):
+        sd[f"frontend.blocks.{i}.conv.weight"] = (
+            rng.standard_normal((o, inp, k)).astype(np.float32) * 0.1)
+        sd[f"frontend.blocks.{i}.conv.bias"] = np.zeros(o, np.float32)
+        bn(f"frontend.blocks.{i}.bn", o, sd)
+        sd[f"frontend.blocks.{i}.act.weight"] = np.array([0.2], np.float32)
+    sd["frontend.emb.weight"] = (
+        rng.standard_normal((12, 16, 1)).astype(np.float32) * 0.1)
+    sd["frontend.emb.bias"] = np.zeros(12, np.float32)
+    bn("frontend.emb_bn", 12, sd)
+
+    params, stats = convert_pase_checkpoint(sd, opts)
+    out1 = m.apply({"params": params, "batch_stats": stats}, x, train=False)
+    assert out1.shape == out0.shape
+    assert np.isfinite(np.asarray(out1)).all()
+    assert not np.allclose(np.asarray(out0), np.asarray(out1))
+    # per-channel prelu broadcast from torch's scalar form
+    assert params["act0"].shape == (8,)
+    np.testing.assert_allclose(params["act0"], 0.2)

@@ -198,6 +198,121 @@ def import_model_par(
     return params, stats
 
 
+def convert_pase_checkpoint(
+    state_dict: Dict[str, Any], options: Dict[str, Any]
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Map a pase-package frontend state dict onto the native PASE encoder
+    (models/pase.py) by ORDER of appearance with shape validation.
+
+    The pase checkpoint is a flat torch state dict whose module prefixes
+    vary across pase versions, so modules are classified structurally:
+    a prefix owning running_mean/running_var is a BatchNorm, a 3-D weight
+    is a Conv1d ((out, in, k) -> our NWC (k, in, out)), low_hz_/band_hz_
+    are the sinc front-end, and a lone 1-D weight following a conv/bn is
+    a PReLU slope.  Raises with the offending prefix on any shape that
+    does not fit the pase_cfg-derived architecture.
+    """
+    from ..models.pase import read_pase_cfg
+
+    cfg = read_pase_cfg(options)
+    groups: Dict[str, Dict[str, Any]] = {}
+    order = []
+    for key, val in state_dict.items():
+        prefix, _, leaf = key.rpartition(".")
+        if "num_batches_tracked" in leaf:
+            continue
+        if prefix not in groups:
+            groups[prefix] = {}
+            order.append(prefix)
+        groups[prefix][leaf] = _np(val)
+
+    seq = []  # (kind, payload) in appearance order
+    for prefix in order:
+        g = groups[prefix]
+        if "low_hz_" in g or "band_hz_" in g:
+            seq.append(("sinc", g))
+        elif "running_mean" in g:
+            seq.append(("bn", g))
+        elif "weight" in g and g["weight"].ndim == 3:
+            seq.append(("conv", g))
+        elif "weight" in g and g["weight"].ndim <= 1 and len(g) == 1:
+            seq.append(("prelu", g))
+        # anything else (qrnn workers, decoders) is ignored: only the
+        # frontend encoder maps onto this module
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def take(kind, where):
+        while seq:
+            k, g = seq.pop(0)
+            if k == kind:
+                return g
+        raise ValueError(
+            f"pase checkpoint exhausted looking for a {kind!r} for {where!r}"
+        )
+
+    sinc = take("sinc", "sinc front-end")
+    params["low_hz"] = sinc["low_hz_"].reshape(-1, 1)
+    params["band_hz"] = sinc["band_hz_"].reshape(-1, 1)
+
+    def put_bn(name, where):
+        g = take("bn", where)
+        params[name] = {"scale": g["weight"], "bias": g["bias"]}
+        stats[name] = {"mean": g["running_mean"], "var": g["running_var"]}
+
+    def put_prelu(name, where, n_chan):
+        g = take("prelu", where)
+        w = g["weight"].reshape(-1)
+        if w.size == 1:  # torch scalar PReLU broadcasts per channel
+            w = np.broadcast_to(w, (n_chan,)).copy()
+        params[name] = w
+
+    put_bn("sinc_bn", "sinc_bn")
+    put_prelu("sinc_act", "sinc_act", cfg["sinc_out"])
+    for i, (f, k, s) in enumerate(
+        zip(cfg["fmaps"], cfg["kwidths"], cfg["strides"])
+    ):
+        g = take("conv", f"conv{i}")
+        w = g["weight"]
+        if w.shape[0] != f or w.shape[2] != k:
+            raise ValueError(
+                f"conv{i}: checkpoint shape {w.shape} does not match "
+                f"pase_cfg (fmaps={f}, kwidth={k})"
+            )
+        conv = {"kernel": w.transpose(2, 1, 0)}
+        if "bias" in g:
+            conv["bias"] = g["bias"]
+        params[f"conv{i}"] = conv
+        put_bn(f"bn{i}", f"bn{i}")
+        put_prelu(f"act{i}", f"act{i}", f)
+    g = take("conv", "emb")
+    emb = {"kernel": g["weight"].transpose(2, 1, 0)}
+    if "bias" in g:
+        emb["bias"] = g["bias"]
+    params["emb"] = emb
+    put_bn("emb_bn", "emb_bn")
+    return params, stats
+
+
+def convert_pase_checkpoint_file(
+    ckpt_path: str, cfg_path: str, out_ckpt: str
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """torch-load a pase checkpoint and write a native .ckpt usable as
+    `arch_pretrain_file` (torch needed only at conversion time)."""
+    import torch
+
+    from ..train.checkpoint import save_checkpoint
+
+    blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = blob.get("model", blob) if isinstance(blob, dict) else blob
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    params, stats = convert_pase_checkpoint(sd, {"pase_cfg": cfg_path})
+    save_checkpoint(out_ckpt, params, opt_state=None, batch_stats=stats)
+    return params, stats
+
+
 def convert_checkpoint_file(
     pkl_path: str, out_ckpt: str, class_name: str
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:

@@ -1,49 +1,176 @@
-"""PASE waveform-encoder wrapper (reference neural_networks.py:2023-2055).
+"""PASE waveform encoder — native flax implementation + torch-checkpoint
+import (reference neural_networks.py:2023-2055 merely wraps the external
+`pase` package; here the encoder itself is implemented, so forward runs
+without torch).
 
-The reference imports the external `pase` package and loads a pretrained
-checkpoint; neither ships with either framework.  This wrapper keeps the
-same config surface (pase_cfg json with emb_dim, pase_model checkpoint) and
-gates cleanly: if `pase` (a torch package) is importable the encoder runs
-on host torch-CPU as a frozen front-end; otherwise construction raises an
-actionable error.
+Architecture (PASE frontend, Pascual et al., Interspeech 2019: a SincNet
+first convolution followed by a stack of strided Conv1d+BatchNorm+PReLU
+blocks that decimate 16 kHz samples to a 10 ms frame rate, ending in a
+1x1 convolution to the embedding dimension):
+
+    sinc(64, k=251, s=1) -> [Conv(f_i, k_i, s_i) + BN + PReLU] x N
+                         -> Conv(emb_dim, 1) + BN
+
+Every structural knob is read from the `pase_cfg` json (the same file the
+reference passes to pase's wf_builder): required `emb_dim`; optional
+`fmaps`, `kwidths`, `strides`, `sinc_out`, `sinc_kwidth`, `sample_rate`
+with the documented defaults (overall decimation = prod(strides) = 160,
+i.e. 10 ms at 16 kHz).
+
+Pretrained weights: `pase_model` may point at (a) a checkpoint converted
+with `tpukaldi.compat.convert_pase_checkpoint` (native msgpack, no torch
+needed at runtime) loaded through the standard arch_pretrain_file path, or
+(b) nothing — the encoder trains from random init like any other module.
 """
 
 from __future__ import annotations
 
 import json
-import os
-from typing import Any, Dict
+from typing import Any, Dict, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .cnn import sinc_filters_fast
+from .registry import register
+
+# PASE frontend defaults (overridable via the pase_cfg json)
+DEFAULT_FMAPS = (64, 128, 128, 256, 256, 512, 512)
+DEFAULT_KWIDTHS = (10, 5, 5, 5, 5, 5, 5)
+DEFAULT_STRIDES = (10, 2, 2, 2, 1, 2, 1)  # x sinc stride 1 -> 160 overall
+DEFAULT_SINC_OUT = 64
+DEFAULT_SINC_KWIDTH = 251
 
 
-class PASE:
-    def __init__(self, options: Dict[str, Any], inp_dim: int):
-        self.input_dim = inp_dim
-        self.pase_cfg = options["pase_cfg"]
-        self.pase_model = options["pase_model"]
-        try:
-            from pase.models.frontend import wf_builder  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "PASE requires the external 'pase' package (dev branch of "
-                "github.com/santi-pdp/pase) plus its pretrained checkpoint; "
-                "neither is bundled. Install it, or swap the front-end for "
-                "the native SincNet/logMelFb models."
-            ) from e
-        self.pase = wf_builder(self.pase_cfg)
-        self.pase.load_pretrained(self.pase_model, load_last=True, verbose=True)
-        with open(self.pase_cfg) as f:
-            self.out_dim = int(json.load(f)["emb_dim"])
+def read_pase_cfg(options: Dict[str, Any]) -> Dict[str, Any]:
+    cfg: Dict[str, Any] = {}
+    path = options.get("pase_cfg", "")
+    if path:
+        with open(path) as f:
+            cfg = json.load(f)
+    return {
+        "emb_dim": int(cfg.get("emb_dim", options.get("emb_dim", 100))),
+        "fmaps": tuple(cfg.get("fmaps", DEFAULT_FMAPS)),
+        "kwidths": tuple(cfg.get("kwidths", DEFAULT_KWIDTHS)),
+        "strides": tuple(cfg.get("strides", DEFAULT_STRIDES)),
+        "sinc_out": int(cfg.get("sinc_out", DEFAULT_SINC_OUT)),
+        "sinc_kwidth": int(cfg.get("sinc_kwidth", DEFAULT_SINC_KWIDTH)),
+        "sample_rate": int(cfg.get("sample_rate", 16000)),
+    }
 
-    @staticmethod
-    def compute_out_dim(options: Dict[str, Any], inp_dim: int) -> int:
-        with open(options["pase_cfg"]) as f:
-            return int(json.load(f)["emb_dim"])
 
-    def __call__(self, x, train: bool = False):
+@register
+class PASE(nn.Module):
+    """Sequential module: (T, B, 1) raw samples -> (T', B, emb_dim) frames,
+    T' = T // prod(strides)."""
+
+    options: Dict[str, Any]
+    inp_dim: int
+
+    @classmethod
+    def compute_out_dim(cls, options, inp_dim) -> int:
+        return read_pase_cfg(options)["emb_dim"]
+
+    @property
+    def out_dim(self) -> int:
+        return self.compute_out_dim(self.options, self.inp_dim)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, lengths=None):
+        cfg = read_pase_cfg(self.options)
+        # (T, B, C) -> (B, T, C) for NWC convs
+        h = x.transpose(1, 0, 2)
+
+        # sinc front-end (mel-spaced init, half-window symmetry trick)
+        n_sinc, k_sinc = cfg["sinc_out"], cfg["sinc_kwidth"]
+        sr = cfg["sample_rate"]
+        low = self.param(
+            "low_hz", _mel_low_init(n_sinc, sr), (n_sinc, 1)
+        )
+        band = self.param(
+            "band_hz", _mel_band_init(n_sinc, sr), (n_sinc, 1)
+        )
+        filt = sinc_filters_fast(low, band, k_sinc, sr,
+                                 min_low_hz=50.0, min_band_hz=50.0)
+        # filt (n_sinc, k) -> NWC kernel (k, in=1, n_sinc); PASE applies
+        # |.| after the sinc conv (rectified band energies)
+        kernel = filt.T[:, None, :]
+        h = jnp.abs(_conv_nwc(h, kernel, stride=1))
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.95,
+                         name="sinc_bn")(h)
+        h = self._prelu("sinc_act", h)
+
+        for i, (f, k, s) in enumerate(
+            zip(cfg["fmaps"], cfg["kwidths"], cfg["strides"])
+        ):
+            h = nn.Conv(features=f, kernel_size=(k,), strides=(s,),
+                        padding="SAME", name=f"conv{i}")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.95,
+                             name=f"bn{i}")(h)
+            h = self._prelu(f"act{i}", h)
+
+        h = nn.Conv(features=cfg["emb_dim"], kernel_size=(1,),
+                    name="emb")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.95,
+                         name="emb_bn")(h)
+        return h.transpose(1, 0, 2)  # (T', B, emb)
+
+    def _prelu(self, name, h):
+        """Per-channel PReLU (torch nn.PReLU(C) semantics, init 0.25)."""
+        a = self.param(name, nn.initializers.constant(0.25),
+                       (h.shape[-1],))
+        return jnp.where(h >= 0, h, a * h)
+
+
+def _conv_nwc(x, kernel, stride):
+    import jax
+
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride,), padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+
+
+def _mel_low_init(n_filt: int, sr: int):
+    def init(key, shape, dtype=jnp.float32):
         import numpy as np
-        import torch
 
-        with torch.no_grad():
-            t = torch.from_numpy(np.asarray(x)).float()
-            out = self.pase(t.unsqueeze(0).unsqueeze(0))
-        return np.asarray(out)
+        low_hz, high_hz = 30.0, sr / 2 - 100.0
+        mel = np.linspace(_hz2mel(low_hz), _hz2mel(high_hz), n_filt + 1)
+        hz = _mel2hz(mel)
+        return jnp.asarray(hz[:-1, None], dtype)
+
+    return init
+
+
+def _mel_band_init(n_filt: int, sr: int):
+    def init(key, shape, dtype=jnp.float32):
+        import numpy as np
+
+        low_hz, high_hz = 30.0, sr / 2 - 100.0
+        mel = np.linspace(_hz2mel(low_hz), _hz2mel(high_hz), n_filt + 1)
+        hz = _mel2hz(mel)
+        return jnp.asarray(np.diff(hz)[:, None], dtype)
+
+    return init
+
+
+def _hz2mel(hz):
+    import numpy as np
+
+    return 2595 * np.log10(1 + np.asarray(hz) / 700)
+
+
+def _mel2hz(mel):
+    import numpy as np
+
+    return 700 * (10 ** (np.asarray(mel) / 2595) - 1)
+
+
+def decimation(options: Dict[str, Any]) -> int:
+    """Samples per output frame (the raw-wave window_shift for this
+    encoder)."""
+    out = 1
+    for s in read_pase_cfg(options)["strides"]:
+        out *= s
+    return out
