@@ -202,3 +202,44 @@ def test_forward_batches_exact_reassembly(exp):
         # padded rows beyond the real group have zero length
         assert not b.lengths[len(b.names):].any()
     assert sorted(seen) == sorted(chunk.names)
+
+
+def test_batching_consumes_exact_reference_frame_count():
+    """Tail batches that do not fill batch_size are dropped (reference
+    N_batches = N // batch_size, core.py:558-559).  Assert the EXACT
+    number of frames/sentences consumed so silent under-consumption can
+    never regress unnoticed (ADVICE r1: tail-drop is documented parity,
+    but must stay observable)."""
+    from tpukaldi.data.batching import (iter_frame_batches, iter_seq_batches,
+                                        n_frame_batches, n_seq_batches)
+    from tpukaldi.data.synth import generate_corpus
+    from tpukaldi.config.cfg import DatasetSpec
+    from tpukaldi.data import load_chunk
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus = generate_corpus(tmp + "/c", n_utts=7, seed=23)
+        from tpukaldi.config import load_config
+        from tpukaldi.data.synth import write_cfg
+
+        cfg = write_cfg(corpus, tmp + "/e", arch="MLP", batch_size=64, cw=0)
+        ds = load_config(cfg).datasets["synth_tr"]
+
+        chunk = load_chunk(ds, ["mfcc"], ["lab_cd"], 1000)
+        # frame mode: 64-frame batches, tail dropped
+        bs = 64
+        frames = sum(b.feats.shape[0] for b in iter_frame_batches(chunk, bs))
+        assert frames == (chunk.n_frames // bs) * bs
+        assert frames == n_frame_batches(chunk, bs) * bs
+        assert chunk.n_frames - frames < bs  # dropped tail is < one batch
+
+        # sequence mode: 2-sentence batches, tail sentence dropped
+        sents = sum(len(b.names) for b in iter_seq_batches(chunk, 2))
+        assert sents == (chunk.n_sentences // 2) * 2
+        assert sents == n_seq_batches(chunk, 2) * 2
+        # and every consumed sentence's true frames are present exactly once
+        consumed = sum(
+            int(l) for b in iter_seq_batches(chunk, 2) for l in b.lengths
+        )
+        starts = chunk.end_index[: (chunk.n_sentences // 2) * 2]
+        assert consumed == int(starts[-1])
