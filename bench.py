@@ -21,6 +21,7 @@ reference MLP epoch trace).
 
 import functools
 import json
+import os
 import time
 
 import jax
@@ -127,6 +128,55 @@ def main():
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     fps = T * B * ITERS / best_dt
+
+    # ---- MFU: analytic model FLOPs vs chip peak --------------------------
+    # forward matmul FLOPs of the flagship step (elementwise ignored):
+    # liGRU layers run on the flip-concat doubled batch (B2 = 2B); each
+    # layer is one ff projection (d_in -> 2H) + T sequential U matmuls
+    # (H -> 2H); heads run on the (T*B, 2H) concatenated output.
+    H = 550
+    B2 = 2 * B
+    fwd = 0
+    d_in = D
+    for _ in range(5):
+        fwd += 2 * T * B2 * d_in * (2 * H)  # ff projection
+        fwd += 2 * T * B2 * H * (2 * H)  # recurrence
+        d_in = 2 * H  # bidir concat feeds the next layer
+    fwd += 2 * T * B * (2 * H) * N_CD + 2 * T * B * (2 * H) * N_MONO
+    step_flops = 3 * fwd  # fwd + ~2x for backward (remat adds ~1 U matmul)
+    achieved = step_flops * ITERS / best_dt
+    # v5e public peak: 197 TFLOP/s bf16 (f32 accumulate) — we run f32
+    # matmuls, so this denominator is the conservative (lower-MFU) choice
+    PEAK = 197e12
+    mfu_pct = 100.0 * achieved / PEAK
+
+    # ---- end-to-end epoch: the FULL driver at TIMIT scale ----------------
+    # (train + validation + host pipeline + ledger + async checkpoints);
+    # epoch 0 pays the one-time XLA bucket compiles, epoch 1 is the warm
+    # steady state the reference's ~87 s/epoch res.res trace corresponds to
+    e2e = None
+    if os.environ.get("TPUKALDI_BENCH_E2E", "1") != "0":
+        e2e = bench_e2e_epoch()
+
+    if e2e is not None:
+        print(json.dumps({
+            "metric": "e2e_warm_epoch_seconds_TIMIT_scale_liGRU",
+            "value": round(e2e["epoch_s"], 1),
+            "unit": "s",
+            "vs_baseline": round(87.0 / e2e["epoch_s"], 2),
+        }))
+        print(json.dumps({
+            "metric": "e2e_warm_epoch_frames_per_sec",
+            "value": round(e2e["fps"], 1),
+            "unit": "frames/s",
+            "vs_baseline": round(e2e["fps"] / BASELINE_FPS, 2),
+        }))
+    print(json.dumps({
+        "metric": "mfu_vs_v5e_bf16_peak",
+        "value": round(mfu_pct, 2),
+        "unit": "%",
+        "vs_baseline": round(mfu_pct, 2),
+    }))
     print(
         json.dumps(
             {
@@ -137,6 +187,99 @@ def main():
             }
         )
     )
+
+
+def bench_e2e_epoch():
+    """Run the FULL driver (config -> plan -> chunk runtime -> ledger) on a
+    TIMIT-scale synthetic corpus and report the warm (2nd) epoch time as
+    parsed from res.res — the end-to-end number comparable to the
+    reference's res.res epoch traces."""
+    import re
+    import shutil
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tpukaldi.data.synth import generate_corpus, write_cfg
+    from tpukaldi.tools.run_exp import run_experiment
+
+    # persistent XLA compile cache: repeat bench invocations skip the
+    # one-time bucket compiles (the tunnel makes those minutes-long)
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/tpukaldi_xla_cache"
+        )
+    except Exception:
+        pass
+
+    cache = os.environ.get(
+        "TPUKALDI_BENCH_CORPUS", "/tmp/tpukaldi_bench_corpus_v1"
+    )
+    marker = os.path.join(cache, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(cache, ignore_errors=True)
+        # TIMIT scale: 3696 train utts, ~1.07M frames, 40-dim, 1944 classes
+        generate_corpus(cache, n_utts=3696, feat_dim=D, n_classes=N_CD,
+                        min_len=150, max_len=430, seed=7)
+        open(marker, "w").close()
+    # re-load the corpus handle without regenerating
+    from tpukaldi.data.synth import load_corpus
+
+    corpus = load_corpus(cache)
+    out = tempfile.mkdtemp(prefix="tpukaldi_bench_e2e_")
+    cfg = write_cfg(
+        corpus, out, arch="liGRU",
+        hidden="550,550,550,550,550", n_epochs=2, n_chunks=5,
+        batch_size=B, cw=0, lr=0.0004,
+    )
+    text = open(cfg).read()
+    for field, value in (
+        ("ligru_drop", "0.2,0.2,0.2,0.2,0.2"),
+        ("ligru_use_laynorm", "False,False,False,False,False"),
+        ("ligru_use_batchnorm", "True,True,True,True,True"),
+        ("ligru_act", "relu,relu,relu,relu,relu"),
+    ):
+        text = re.sub(rf"^{field} = .*$", f"{field} = {value}", text,
+                      count=1, flags=re.M)
+    open(cfg, "w").write(text)
+    # the epoch metric comes from training+validation; pre-ledger the
+    # forward stage so the bench doesn't spend minutes writing 1.9k-dim
+    # posteriors for every test utterance over the tunnel
+    ef = os.path.join(out, "exp_files")
+    os.makedirs(ef, exist_ok=True)
+    open(os.path.join(ef, "forward_synth_te_ep1_ck0.info"), "w").write(
+        "[results]\nelapsed_time_chunk=0.0\n"
+    )
+    # the driver's progress lines stay out of the bench stdout (which must
+    # carry only the JSON metric lines); they land in bench_driver.log
+    import contextlib
+
+    with open(os.path.join(out, "bench_driver.log"), "w") as logf, \
+            contextlib.redirect_stdout(logf):
+        run_experiment(cfg)
+    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    warm = [l for l in lines if l.startswith("ep=1")][0]
+    epoch_s = float(re.search(r"time\(s\)=(\d+)", warm).group(1))
+    n_frames = sum(
+        int(m.group(1))
+        for m in re.finditer(r"frames=(\d+)", _cat_infos(out, "train_.*ep1"))
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return {"epoch_s": max(epoch_s, 1.0),
+            "fps": n_frames / max(epoch_s, 1.0)}
+
+
+def _cat_infos(out, pattern):
+    import re
+
+    ef = os.path.join(out, "exp_files")
+    text = []
+    for fn in os.listdir(ef):
+        if re.match(pattern, fn) and fn.endswith(".info"):
+            text.append(open(os.path.join(ef, fn)).read())
+    return "\n".join(text)
 
 
 if __name__ == "__main__":
