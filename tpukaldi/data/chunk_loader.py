@@ -249,7 +249,10 @@ def load_chunk_stream(
         fea_conc = F.splice(fea_conc, left, right)
     end_index = end_index - left
     end_index[-1] = end_index[-1] - right
-    fea_conc = F.chunk_cmvn(fea_conc)
+    # inplace: fea_conc was freshly built by concatenate/splice above, so
+    # normalizing the owned buffer avoids a full-chunk copy (expensive at
+    # Librispeech scale and on memory-throttled hosts)
+    fea_conc = F.chunk_cmvn(fea_conc, inplace=True)
     if not fea_only and lab_conc.size:
         lab_conc = lab_conc - lab_conc.min()
     if not rates_differ:
@@ -257,8 +260,8 @@ def load_chunk_stream(
         lab_end_index = end_index
     return (
         names,
-        fea_conc.astype(np.float32),
-        lab_conc.astype(np.int64),
+        np.asarray(fea_conc, dtype=np.float32),
+        np.asarray(lab_conc, dtype=np.int64),
         end_index,
         lab_end_index,
     )

@@ -38,14 +38,22 @@ def splice(feats: np.ndarray, left: int, right: int) -> np.ndarray:
     return out[left : n - right]
 
 
-def chunk_cmvn(feats: np.ndarray) -> np.ndarray:
+def chunk_cmvn(feats: np.ndarray, inplace: bool = False) -> np.ndarray:
     """Per-chunk mean/std normalization over axis 0 (data_io.py:263).
-    Native single-pass (double accumulators) when available."""
+    Native single-pass (double accumulators) when available.
+    `inplace=True` may normalize the caller's buffer without copying —
+    only pass it for a buffer nothing else references."""
     from .. import native
 
-    fast = native.chunk_cmvn(feats)
+    fast = native.chunk_cmvn(feats, inplace=inplace)
     if fast is not None:
         return fast
+    if inplace and isinstance(feats, np.ndarray) and feats.dtype.kind == "f":
+        mean = np.mean(feats, axis=0)
+        std = np.std(feats, axis=0)
+        feats -= mean
+        feats /= std
+        return feats
     return (feats - np.mean(feats, axis=0)) / np.std(feats, axis=0)
 
 

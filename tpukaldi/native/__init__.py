@@ -87,12 +87,18 @@ def splice(feats: np.ndarray, left: int, right: int) -> Optional[np.ndarray]:
     return out
 
 
-def chunk_cmvn(feats: np.ndarray) -> Optional[np.ndarray]:
+def chunk_cmvn(feats: np.ndarray, inplace: bool = False) -> Optional[np.ndarray]:
     L = lib()
     if L is None:
         return None
-    # the C op is in-place: always copy so the caller's array is untouched
-    x = np.array(feats, dtype=np.float32, order="C", copy=True)
+    # the C op is in-place; `inplace=True` lets a caller that OWNS the
+    # buffer (e.g. the chunk loader, which just built it via concatenate)
+    # skip a full-chunk copy — on this class of host a 170 MB copy costs
+    # seconds, comparable to the device step time of the whole chunk
+    if inplace and feats.dtype == np.float32 and feats.flags.c_contiguous:
+        x = feats
+    else:
+        x = np.array(feats, dtype=np.float32, order="C", copy=True)
     n, d = x.shape
     L.tk_chunk_cmvn(_fp32(x), n, d)
     return x
