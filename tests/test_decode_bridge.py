@@ -267,3 +267,58 @@ def test_production_decode_with_stub(tmp_path):
     calls = tmp_path / "e" / "decode_calls.txt"
     assert calls.read_text().count("run") == 2  # labeled run + production run
     assert (ef / "decoding_synth_te_out_dnn1.info").exists()
+
+
+def test_harvest_ignores_ser_lines(tmp_path):
+    """compute-wer writes %SER lines too; best_wer.sh greps only WER, so a
+    low SER must never be reported as the best WER."""
+    d = tmp_path / "dec"
+    d.mkdir()
+    (d / "wer_4").write_text(
+        "%WER 104.10 [ 7100 / 6820, 3000 ins, 100 del, 4000 sub ]\n"
+        "%SER 99.00 [ 190 / 192 ]\n"
+    )
+    (d / "wer_5").write_text(
+        "%WER 103.50 [ 7059 / 6820, 2950 ins, 99 del, 4010 sub ]\n"
+        "%SER 98.00 [ 188 / 192 ]\n"
+    )
+    best = harvest_wer(str(d))
+    assert best["wer"] == 103.5
+    assert "%WER 103.50" in best["line"]
+
+
+STUB_NO_WER = """#!/bin/bash
+# decode stub whose scoring produces nothing parseable
+conf=$1; out=$2; arks=$3
+mkdir -p "$out"
+echo run >> "$out/../decode_calls.txt"
+exit 0
+"""
+
+
+def test_no_wer_keeps_decode_retryable(tmp_path):
+    """If decode runs but scoring yields no WER, the ledger must NOT be
+    written and the posterior arks must survive, so a restart re-runs the
+    decode (the reference always re-decodes, run_exp.py:548,592)."""
+    from tpukaldi.data.synth import generate_corpus, write_cfg
+    from tpukaldi.tools.run_exp import run_experiment
+
+    _write_stub(tmp_path, STUB_NO_WER)
+    corpus = generate_corpus(str(tmp_path / "c"), n_utts=6, seed=8)
+    cfg = write_cfg(corpus, str(tmp_path / "e"), arch="MLP", n_epochs=1,
+                    n_chunks=1, batch_size=64)
+    cfg2 = tmp_path / "dec.cfg"
+    cfg2.write_text(open(cfg).read() + _decoding_section(tmp_path))
+    run_experiment(str(cfg2))
+    ef = tmp_path / "e" / "exp_files"
+    assert not (ef / "decoding_synth_te_out_dnn1.info").exists()
+    arks = [f for f in os.listdir(ef) if f.endswith("_to_decode.ark")]
+    assert arks, "posterior arks must survive a failed scoring"
+    calls = tmp_path / "e" / "decode_calls.txt"
+    assert calls.read_text().count("run") == 1
+    # scoring fixed -> restart decodes again and the ledger completes
+    _write_stub(tmp_path)
+    run_experiment(str(cfg2))
+    assert calls.read_text().count("run") == 2
+    assert (ef / "decoding_synth_te_out_dnn1.info").exists()
+    assert "%WER 17.20" in open(tmp_path / "e" / "res.res").read()

@@ -316,3 +316,44 @@ def test_bucket_padding_masked_from_cost(tmp_path):
                       jnp.asarray(eb.feats.shape[0], dtype=jnp.int32))
         np.testing.assert_allclose(float(lb), float(le), rtol=2e-5)
         np.testing.assert_allclose(float(errb), float(erre), rtol=2e-5)
+
+
+def test_mse_mask_never_crosses_time_rates():
+    """n_valid_t counts LABEL-rate frames; an mse cost over FEATURE-rate
+    rows on a rate-differing (raw-wave) batch must not be masked with it —
+    that would silently drop ~(1-1/window_shift) of the valid signal.  The
+    same-rate case keeps the exact bucketed mask."""
+    from tpukaldi.config.model_dsl import ModelStatement
+    from tpukaldi.graph.compiler import GraphSpec
+
+    def mse_graph(fea_T):
+        return GraphSpec(
+            stmts=[ModelStatement("loss_final", "mse", "a", "b"),
+                   ModelStatement("err_final", "mse", "a", "b")],
+            modules={}, archs={},
+            fea_layout={"a": (0, 2), "b": (2, 4)},
+            lab_layout={"lab_cd": 0},
+            out_dims={"a": 2, "b": 2, "loss_final": 1, "err_final": 1},
+            seq_model=True,
+        )
+
+    rng = np.random.default_rng(3)
+    B = 2
+    # rates differ: 80 samples vs 8 label frames (shift=10)
+    feats = jnp.asarray(rng.standard_normal((80, B, 4)), jnp.float32)
+    labs = jnp.zeros((8, B, 1), jnp.int64)
+    outs, _ = apply_graph(mse_graph(80), {}, {}, feats, labs, train=False,
+                          to_do="valid", n_valid_t=jnp.asarray(6))
+    expect_all = float(jnp.mean((feats[..., :2] - feats[..., 2:]) ** 2))
+    np.testing.assert_allclose(float(outs["loss_final"]), expect_all,
+                               rtol=1e-6)
+
+    # same rate: mask applies (first 6 of 8 rows)
+    feats_s = jnp.asarray(rng.standard_normal((8, B, 4)), jnp.float32)
+    outs, _ = apply_graph(mse_graph(8), {}, {}, feats_s, labs, train=False,
+                          to_do="valid", n_valid_t=jnp.asarray(6))
+    expect_masked = float(
+        jnp.mean((feats_s[:6, :, :2] - feats_s[:6, :, 2:]) ** 2)
+    )
+    np.testing.assert_allclose(float(outs["loss_final"]), expect_masked,
+                               rtol=1e-6)

@@ -83,7 +83,9 @@ def run_decode(
 
 
 # kaldi compute-wer line: "%WER 18.10 [ 1234 / 6819, 123 ins, 456 del, ...]"
-_KALDI_WER_RE = re.compile(r"%[WS]ER\s+(\d+\.?\d*)")
+# (WER only — compute-wer also writes %SER lines, which best_wer.sh's
+# `grep WER` ignores; matching them could report a sentence error rate)
+_KALDI_WER_RE = re.compile(r"%WER\s+(\d+\.?\d*)")
 # sclite .sys summary row: "| Sum/Avg | 192 7215 | 82.1 12.6 5.3 2.6 20.5 ...|"
 _SCLITE_RE = re.compile(
     r"(?:Mean|Sum/Avg)\s*\|\s*\S+\s+\S+\s*\|\s*\S+\s+\S+\s+\S+\s+\S+\s+(\S+)\s+\S+\s*\|"

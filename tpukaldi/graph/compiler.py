@@ -211,9 +211,17 @@ def apply_graph(
         if n_valid_t is not None and labs is not None and labs.ndim == 3
         else None
     )
+    # n_valid_t counts LABEL-rate frames, so a feature-rate mask is only
+    # meaningful when the feature time axis runs at the same rate (raw-wave
+    # batches have T_samples >> T_lab; masking their first n_valid_t sample
+    # rows would silently drop ~(1 - 1/window_shift) of the valid signal
+    # from an mse cost) — in that case fall back to the unmasked mean, the
+    # reference's own zero-pad-inclusive behavior
     fea_mask = (
         _row_mask(feats, n_valid_t)
-        if n_valid_t is not None and feats.ndim == 3
+        if n_valid_t is not None
+        and feats.ndim == 3
+        and (labs is None or labs.ndim != 3 or labs.shape[0] == feats.shape[0])
         else None
     )
 
@@ -288,11 +296,13 @@ def apply_graph(
             if sq.ndim == 3:
                 sq = sq.reshape(sq.shape[0] * sq.shape[1], -1)
             vals = sq.mean(axis=1)
-            mask = (
-                fea_mask
-                if fea_mask is not None and vals.shape[0] == fea_mask.shape[0]
-                else lab_mask
-            )
+            # strict row-count match: a mask built for a different time
+            # rate must never be applied; no match -> unmasked mean
+            mask = None
+            for cand in (fea_mask, lab_mask):
+                if cand is not None and vals.shape[0] == cand.shape[0]:
+                    mask = cand
+                    break
             outs[s.out] = _masked_mean(vals, mask)
         if (
             to_do == "forward"

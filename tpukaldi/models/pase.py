@@ -42,13 +42,27 @@ DEFAULT_SINC_OUT = 64
 DEFAULT_SINC_KWIDTH = 251
 
 
+# parsed-cfg cache: the json is constant per experiment but read_pase_cfg
+# is hit on every module trace / out_dim access; key on (path, mtime, size)
+# so a rewritten file (tests) still invalidates
+_CFG_CACHE: Dict[tuple, Dict[str, Any]] = {}
+
+
 def read_pase_cfg(options: Dict[str, Any]) -> Dict[str, Any]:
     cfg: Dict[str, Any] = {}
     path = options.get("pase_cfg", "")
     if path:
+        import os
+
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size,
+               options.get("emb_dim"))
+        hit = _CFG_CACHE.get(key)
+        if hit is not None:
+            return hit
         with open(path) as f:
             cfg = json.load(f)
-    return {
+    out = {
         "emb_dim": int(cfg.get("emb_dim", options.get("emb_dim", 100))),
         "fmaps": tuple(cfg.get("fmaps", DEFAULT_FMAPS)),
         "kwidths": tuple(cfg.get("kwidths", DEFAULT_KWIDTHS)),
@@ -57,6 +71,9 @@ def read_pase_cfg(options: Dict[str, Any]) -> Dict[str, Any]:
         "sinc_kwidth": int(cfg.get("sinc_kwidth", DEFAULT_SINC_KWIDTH)),
         "sample_rate": int(cfg.get("sample_rate", 16000)),
     }
+    if path:
+        _CFG_CACHE[key] = out
+    return out
 
 
 @register
@@ -131,13 +148,21 @@ def _conv_nwc(x, kernel, stride):
     )
 
 
+def _mel_spaced_hz(n_filt: int, sr: int):
+    """Mel-spaced cutoff grid, 30 Hz .. sr/2-100 Hz — the same spacing the
+    SincNet init uses (cnn.py `SincConv` mel linspace, min_low+min_band =
+    100); shared via cnn.py's _to_mel/_to_hz so the two can't drift."""
+    import numpy as np
+
+    from .cnn import _to_hz, _to_mel
+
+    low_hz, high_hz = 30.0, sr / 2 - 100.0
+    return _to_hz(np.linspace(_to_mel(low_hz), _to_mel(high_hz), n_filt + 1))
+
+
 def _mel_low_init(n_filt: int, sr: int):
     def init(key, shape, dtype=jnp.float32):
-        import numpy as np
-
-        low_hz, high_hz = 30.0, sr / 2 - 100.0
-        mel = np.linspace(_hz2mel(low_hz), _hz2mel(high_hz), n_filt + 1)
-        hz = _mel2hz(mel)
+        hz = _mel_spaced_hz(n_filt, sr)
         return jnp.asarray(hz[:-1, None], dtype)
 
     return init
@@ -147,24 +172,10 @@ def _mel_band_init(n_filt: int, sr: int):
     def init(key, shape, dtype=jnp.float32):
         import numpy as np
 
-        low_hz, high_hz = 30.0, sr / 2 - 100.0
-        mel = np.linspace(_hz2mel(low_hz), _hz2mel(high_hz), n_filt + 1)
-        hz = _mel2hz(mel)
+        hz = _mel_spaced_hz(n_filt, sr)
         return jnp.asarray(np.diff(hz)[:, None], dtype)
 
     return init
-
-
-def _hz2mel(hz):
-    import numpy as np
-
-    return 2595 * np.log10(1 + np.asarray(hz) / 700)
-
-
-def _mel2hz(mel):
-    import numpy as np
-
-    return 700 * (10 ** (np.asarray(mel) / 2595) - 1)
 
 
 def decimation(options: Dict[str, Any]) -> int:

@@ -364,19 +364,30 @@ def _run_experiment(
         dec_dir = run_decode(exp, lab, out_name, ds_name, arks, log_file)
         if dec_dir:
             best = harvest_wer(dec_dir)
-            if best:
-                line = best["line"]
-                with open(res_file, "a") as f:
-                    f.write(line + "\n")
-                _log(out_folder, line)
+            if best is None:
+                # decode ran but scoring produced nothing parseable: do NOT
+                # write the ledger (and keep the arks), so a restart retries
+                # the whole decode+score — the reference's always-re-decode
+                # behavior (run_exp.py:548,592); writing it here would
+                # permanently lock out WER harvesting
+                _log(
+                    out_folder,
+                    f"[decode] no WER found under {dec_dir}; ledger not "
+                    f"written — decoding will re-run on restart",
+                )
+                continue
+            line = best["line"]
+            with open(res_file, "a") as f:
+                f.write(line + "\n")
+            _log(out_folder, line)
             with open(dec_info, "w") as f:
                 f.write("[decoding]\n")
                 f.write(f"decode_folder={dec_dir}\n")
-                if best:
-                    f.write(f"wer={best['wer']}\n")
-                    f.write(f"wer_line={best['line']}\n")
+                f.write(f"wer={best['wer']}\n")
+                f.write(f"wer_line={best['line']}\n")
             # save_out_file=False drops the posterior arks after decoding
-            # (reference run_exp.py:611-615)
+            # (reference run_exp.py:611-615); only once scoring succeeded,
+            # so a retried decode still has its inputs
             if not exp.forward.save_out_file[i]:
                 for ark in arks:
                     if os.path.exists(ark):
