@@ -1,0 +1,183 @@
+"""The shipped decode/scoring scripts (tpukaldi/decode/scripts/): same call
+contract as the reference's kaldi_decoding_scripts/decode_dnn.sh, exercised
+against stub Kaldi binaries — one latgen job per posterior ark, lattice
+archives written, LM-weight sweep producing wer_<lmwt> files the harvest
+reads, and the bridge fallback when the configured folder doesn't exist."""
+
+import gzip
+import os
+import stat
+import subprocess
+
+import pytest
+
+import tpukaldi.decode.bridge as bridge
+from tpukaldi.config.cfg import DecodingSpec, LabelSpec
+from tpukaldi.decode import harvest_wer, run_decode
+
+SCRIPTS = os.path.join(
+    os.path.dirname(os.path.abspath(bridge.__file__)), "scripts"
+)
+
+# ---- stub Kaldi binaries --------------------------------------------------
+
+LATGEN_STUB = """#!/bin/bash
+# fake latgen-faster-mapped: record the invocation, honor the piped
+# "ark:|gzip -c > ..." wspecifier so lat.N.gz really appears
+echo "$@" >> "$STUB_LOG"
+for last; do :; done
+cmd="${last#ark:|}"
+echo "utt1 fake-lattice" | eval "$cmd"
+"""
+
+BEST_PATH_STUB = """#!/bin/bash
+# fake lattice-best-path: write an integer transcript to the ark,t: target
+echo "$@" >> "$STUB_LOG"
+for a; do case "$a" in ark,t:*) out="${a#ark,t:}";; esac; done
+printf 'utt1 3 4\\n' > "$out"
+"""
+
+COMPUTE_WER_STUB = """#!/bin/bash
+# fake compute-wer: checks the hyp words resolved through words.txt, then
+# emits kaldi-shaped %WER/%SER lines (WER varies with an env knob so the
+# sweep has a unique minimum)
+echo "$@" >> "$STUB_LOG"
+hyp="${@: -1}"
+hyp="${hyp#ark:}"
+grep -q "utt1 alpha beta" "$hyp" || { echo "bad hyp: $(cat "$hyp")" >&2; exit 1; }
+echo "%WER ${FAKE_WER:-18.40} [ 95 / 518, 9 ins, 19 del, 67 sub ]"
+echo "%SER 10.00 [ 1 / 10 ]"
+"""
+
+
+@pytest.fixture
+def kaldi_env(tmp_path, monkeypatch):
+    """PATH with stub kaldi binaries + graph/ali/data trees + 2 arks."""
+    bins = tmp_path / "bin"
+    bins.mkdir()
+    for name, text in (
+        ("latgen-faster-mapped", LATGEN_STUB),
+        ("lattice-best-path", BEST_PATH_STUB),
+        ("compute-wer", COMPUTE_WER_STUB),
+    ):
+        p = bins / name
+        p.write_text(text)
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bins}:{os.environ['PATH']}")
+    monkeypatch.setenv("STUB_LOG", str(tmp_path / "stub_calls.log"))
+
+    graph = tmp_path / "model" / "graph"
+    graph.mkdir(parents=True)
+    (graph / "HCLG.fst").write_bytes(b"fst")
+    (graph / "words.txt").write_text("<eps> 0\nalpha 3\nbeta 4\n")
+    (tmp_path / "model" / "final.mdl").write_bytes(b"mdl")
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / "feats.scp").write_text("utt1 x.ark:0\n")
+    (data / "text").write_text("utt1 alpha beta\n")
+
+    arks = []
+    for i in range(2):
+        ark = tmp_path / f"post{i}.ark"
+        ark.write_bytes(b"posteriors")
+        arks.append(str(ark))
+    return {"tmp": tmp_path, "graph": graph, "data": data,
+            "alidir": tmp_path / "model", "arks": arks}
+
+
+def _conf(env, path, extra=""):
+    path.write_text(
+        "[decoding]\n"
+        "min_active = 200\nmax_active = 7000\nmax_mem = 50000000\n"
+        "beam = 13.0\nlatbeam = 8.0\nacwt = 0.2\n"
+        'scoring_opts = "--min-lmwt 2 --max-lmwt 4"\n'
+        f"alidir = {env['alidir']}\n"
+        f"data = {env['data']}\n"
+        f"graphdir = {env['graph']}\n"
+        f"out_folder = {env['tmp'] / 'dec'}\n" + extra
+    )
+    return str(path)
+
+
+def test_shipped_decode_script_end_to_end(kaldi_env):
+    env = kaldi_env
+    conf = _conf(env, env["tmp"] / "d.conf")
+    out = env["tmp"] / "dec"
+    r = subprocess.run(
+        [os.path.join(SCRIPTS, "decode_dnn.sh"), conf, str(out),
+         " ".join(env["arks"])],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    # one lattice archive per posterior ark, really gzipped
+    assert (out / "num_jobs").read_text().strip() == "2"
+    for j in (1, 2):
+        with gzip.open(out / f"lat.{j}.gz") as f:
+            assert b"fake-lattice" in f.read()
+    # latgen knobs forwarded from the conf
+    calls = (env["tmp"] / "stub_calls.log").read_text()
+    assert "--beam=13.0" in calls and "--acoustic-scale=0.2" in calls
+    assert "--lattice-beam=8.0" in calls
+    # scoring swept lmwt 2..4 (scoring_opts) through the int->word mapping
+    for lmwt in (2, 3, 4):
+        assert "%WER 18.40" in (out / f"wer_{lmwt}").read_text()
+    assert not (out / "wer_1").exists() and not (out / "wer_5").exists()
+    # the model was staged for scorers that expect it one level up
+    assert (out.parent / "final.mdl").exists()
+    best = harvest_wer(str(out))
+    assert best["wer"] == 18.4
+
+
+def test_skip_scoring(kaldi_env):
+    env = kaldi_env
+    conf = _conf(env, env["tmp"] / "d.conf", "skip_scoring = true\n")
+    out = env["tmp"] / "dec2"
+    r = subprocess.run(
+        [os.path.join(SCRIPTS, "decode_dnn.sh"), conf, str(out),
+         env["arks"][0]],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert (out / "lat.1.gz").exists()
+    assert not list(out.glob("wer_*"))
+
+
+def test_missing_graph_fails_loudly(kaldi_env):
+    env = kaldi_env
+    os.remove(env["graph"] / "HCLG.fst")
+    conf = _conf(env, env["tmp"] / "d.conf")
+    r = subprocess.run(
+        [os.path.join(SCRIPTS, "decode_dnn.sh"), conf,
+         str(env["tmp"] / "dec3"), env["arks"][0]],
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0
+    assert "HCLG.fst" in r.stderr
+
+
+def test_bridge_falls_back_to_shipped_scripts(kaldi_env, tmp_path):
+    """A recipe pointing at a non-existent kaldi_decoding_scripts/ folder
+    (the reference cfg default) still decodes via the shipped scripts."""
+    import types
+
+    env = kaldi_env
+    exp = types.SimpleNamespace(
+        out_folder=str(tmp_path / "exp"),
+        decoding=DecodingSpec(
+            script_folder=str(tmp_path / "does_not_exist"),
+            script="decode_dnn.sh",
+            options={"beam": "13.0", "acwt": "0.2", "latbeam": "8.0",
+                     "min_active": "200", "max_active": "7000",
+                     "max_mem": "50000000",
+                     "scoring_opts": '"--min-lmwt 3 --max-lmwt 3"'},
+        ),
+    )
+    os.makedirs(exp.out_folder)
+    lab = LabelSpec("lab_cd", str(env["alidir"]), "",
+                    data_folder=str(env["data"]), graph=str(env["graph"]))
+    log = str(tmp_path / "log.log")
+    dec_dir = run_decode(exp, lab, "out_dnn1", "te", env["arks"], log)
+    assert dec_dir is not None
+    assert "shipped" in open(log).read()
+    best = harvest_wer(dec_dir)
+    assert best is not None and best["wer"] == 18.4

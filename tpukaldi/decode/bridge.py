@@ -52,6 +52,21 @@ def run_decode(
     decode output dir, or None when Kaldi isn't available (logged)."""
     dec = exp.decoding
     script = os.path.join(dec.script_folder, dec.script) if dec.script else ""
+    if dec.script and not os.path.isfile(script):
+        # the framework ships its own decode/scoring scripts (same call
+        # contract as the reference's kaldi_decoding_scripts/) so a recipe
+        # pointing at a non-existent external folder still decodes; the
+        # fallback is logged below via the resolved path
+        shipped = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts", dec.script
+        )
+        if os.path.isfile(shipped):
+            with open(log_file, "a") as f:
+                f.write(
+                    f"[decode] {script!r} not found; using the shipped "
+                    f"script {shipped!r}\n"
+                )
+            script = shipped
     out_dec_folder = os.path.join(
         exp.out_folder, f"decode_{forward_data}_{out_name}"
     )
