@@ -190,3 +190,84 @@ def test_mid_run_crash_resume_matches_uninterrupted(corpus, tmp_path_factory,
     # the resumed run re-dumps finished epochs from the ledger, then the
     # live ones: its last len(control) lines must equal the control run
     assert resumed[-len(control):] == control
+
+
+def test_ckpt_cadence_matches_per_chunk(corpus, tmp_path_factory, monkeypatch):
+    """TPUKALDI_CKPT_EVERY=N must not change any result: identical res.res
+    (modulo wall time) and identical posteriors, with rolling checkpoints
+    written only at the cadence points + the last chunk of each epoch."""
+    import re
+
+    def run(out, every):
+        if every is not None:
+            monkeypatch.setenv("TPUKALDI_CKPT_EVERY", str(every))
+        else:
+            monkeypatch.delenv("TPUKALDI_CKPT_EVERY", raising=False)
+        cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=2,
+                        n_chunks=4, batch_size=32, lr=0.2)
+        run_experiment(cfg)
+        lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+        return [re.sub(r"time\(s\)=\d+", "", l) for l in lines]
+
+    out_ctl = str(tmp_path_factory.mktemp("cad_ctl"))
+    out_cad = str(tmp_path_factory.mktemp("cad_4"))
+    control = run(out_ctl, None)
+    cadenced = run(out_cad, 4)
+    monkeypatch.delenv("TPUKALDI_CKPT_EVERY", raising=False)
+    assert cadenced == control
+    ef_ctl = os.path.join(out_ctl, "exp_files")
+    ef_cad = os.path.join(out_cad, "exp_files")
+    ctl_ckpts = sorted(f for f in os.listdir(ef_ctl)
+                       if f.startswith("train") and f.endswith(".ckpt"))
+    cad_ckpts = sorted(f for f in os.listdir(ef_cad)
+                       if f.startswith("train") and f.endswith(".ckpt"))
+    assert len(ctl_ckpts) == 8  # 2 epochs x 4 chunks
+    assert len(cad_ckpts) == 2 and all("ck3" in f for f in cad_ckpts)
+    # the final promoted checkpoints agree bit-for-bit (same training math)
+    fa = open(os.path.join(ef_ctl, "final_MLP_layers1.ckpt"), "rb").read()
+    fb = open(os.path.join(ef_cad, "final_MLP_layers1.ckpt"), "rb").read()
+    assert fa == fb
+
+
+def test_ckpt_cadence_crash_resume_replays(corpus, tmp_path_factory,
+                                           monkeypatch):
+    """Crash after a NON-checkpointed chunk under cadence: resume must
+    invalidate the un-restorable ledger tail and replay it deterministically,
+    reproducing the uninterrupted run exactly."""
+    import re
+    from tpukaldi.train.chunk_runtime import ChunkRuntime
+
+    monkeypatch.setenv("TPUKALDI_CKPT_EVERY", "4")
+
+    def run(out, crash_after=None):
+        cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=2,
+                        n_chunks=4, batch_size=32, lr=0.2)
+        if crash_after is not None:
+            real = ChunkRuntime.run_task
+            calls = {"n": 0}
+
+            def crashing(self, task, **kw):
+                if calls["n"] >= crash_after and task.phase == "train":
+                    raise KeyboardInterrupt("simulated crash")
+                calls["n"] += 1
+                return real(self, task, **kw)
+
+            monkeypatch.setattr(ChunkRuntime, "run_task", crashing)
+            with pytest.raises(KeyboardInterrupt):
+                run_experiment(cfg)
+            monkeypatch.setattr(ChunkRuntime, "run_task", real)
+            ef = os.path.join(out, "exp_files")
+            # the crash point is mid-cadence: .info files exist with no ckpt
+            infos = [f for f in os.listdir(ef)
+                     if f.startswith("train") and f.endswith(".info")]
+            ckpts = [f for f in os.listdir(ef)
+                     if f.startswith("train") and f.endswith(".ckpt")]
+            assert infos and not ckpts
+        run_experiment(cfg)
+        lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+        return [re.sub(r"time\(s\)=\d+", "", l) for l in lines]
+
+    control = run(str(tmp_path_factory.mktemp("cadctl")))
+    resumed = run(str(tmp_path_factory.mktemp("cadcrash")), crash_after=2)
+    monkeypatch.delenv("TPUKALDI_CKPT_EVERY", raising=False)
+    assert resumed[-len(control):] == control

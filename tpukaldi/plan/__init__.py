@@ -3,6 +3,7 @@ from .planner import (  # noqa: F401
     EpochPlan,
     ExperimentPlan,
     build_plan,
+    repair_resume_point,
     split_chunks,
     validation_points,
 )

@@ -99,6 +99,44 @@ class ExperimentPlan:
         ]
 
 
+def repair_resume_point(plan: "ExperimentPlan") -> List[str]:
+    """Make the `.info` ledger consistent with the checkpoints on disk
+    before resuming.
+
+    With `ckpt_every > 1` (or after a crash between the `.info` write and
+    the async checkpoint flush) the first pending task's pretrain
+    checkpoints may not exist; in that case the completed-but-not-
+    checkpointed tail is invalidated (its `.info` files removed) so the
+    driver replays it from the latest train task whose checkpoint files all
+    exist.  Replay is exact: chunk results depend only on (seed+ep+ck,
+    chunk data, restored state) — the determinism contract.  Returns the
+    removed info paths (for logging)."""
+    tasks = [t for ep in plan.epochs for t in ep.tasks]
+    first_pending = next((i for i, t in enumerate(tasks) if not t.done), None)
+    if first_pending is None:
+        return []
+    # the state a fresh process restores at the resume point is exactly the
+    # last train task before it whose checkpoint files all exist; any DONE
+    # task after that point holds ledger entries for state the restore
+    # cannot reproduce — those must be replayed
+    start = 0
+    for i in range(first_pending - 1, -1, -1):
+        t = tasks[i]
+        if (
+            t.phase == "train"
+            and t.ckpt_files
+            and all(os.path.exists(p) for p in t.ckpt_files.values())
+        ):
+            start = i + 1
+            break
+    removed = []
+    for t in tasks[start:first_pending]:
+        if t.done:
+            os.remove(t.info_file)
+            removed.append(t.info_file)
+    return removed
+
+
 def _fmt(n: int, total: int) -> str:
     width = max(math.ceil(math.log10(total)) if total > 1 else 1, 1)
     return format(n, f"0{width}d")
@@ -109,10 +147,25 @@ def _read_scp_lines(path: str) -> List[str]:
         return sorted(line.rstrip("\n") for line in f if line.strip())
 
 
-def build_plan(exp: ExperimentConfig, n_valid_per_epoch: int = 1) -> ExperimentPlan:
+def build_plan(
+    exp: ExperimentConfig,
+    n_valid_per_epoch: int = 1,
+    ckpt_every: int = 1,
+) -> ExperimentPlan:
+    """`ckpt_every=N` writes rolling checkpoints only every N-th train chunk
+    (the last chunk of each dataset always saves, so epoch boundaries and
+    final-checkpoint promotion are unchanged).  Intermediate chunks carry
+    empty ckpt_files and keep the previous pretrain pointer; crash resume
+    then REPLAYS the un-checkpointed tail deterministically
+    (`repair_resume_point`) — same results, chunk-determinism is the
+    contract (seed+ep+ck, tested).  N=1 is the reference's per-chunk
+    rolling-checkpoint behavior (core.py:710-722); higher N trades resume
+    granularity for checkpoint D2H/IO bandwidth, which dominates epoch time
+    when the device link is slow."""
     out_folder = exp.out_folder
     exp_files = os.path.join(out_folder, "exp_files")
     os.makedirs(exp_files, exist_ok=True)
+    ckpt_every = max(int(ckpt_every), 1)
 
     n_ep = exp.n_epochs if not exp.production else 0
     rng = random.Random(exp.seed)
@@ -146,10 +199,11 @@ def build_plan(exp: ExperimentConfig, n_valid_per_epoch: int = 1) -> ExperimentP
                     s: [streams[s][i] for i in chunk_idx[ck]] for s in streams
                 }
                 info = os.path.join(exp_files, base + ".info")
+                saves = (ck + 1) % ckpt_every == 0 or ck == ds.n_chunks - 1
                 ckpts = {
                     a: os.path.join(exp_files, f"{base}_{a}.ckpt")
                     for a in arch_names
-                }
+                } if saves else {}
                 task = ChunkTask(
                     phase="train",
                     dataset=ds_name,
@@ -163,7 +217,8 @@ def build_plan(exp: ExperimentConfig, n_valid_per_epoch: int = 1) -> ExperimentP
                     pretrain_files=dict(rolling_ckpt),
                 )
                 tasks.append(task)
-                rolling_ckpt = dict(ckpts)
+                if saves:
+                    rolling_ckpt = dict(ckpts)
 
                 if ck in val_points:
                     for val_ds_name in exp.valid_with:

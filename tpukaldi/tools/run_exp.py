@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import ConfigError, load_config
 from ..config.cfg import ExperimentConfig
-from ..plan import ChunkTask, build_plan
+from ..plan import ChunkTask, build_plan, repair_resume_point
 from ..plan.chunk_cfg import write_chunk_cfg
 from ..train.chunk_runtime import ChunkResult, ChunkRuntime, read_info
 from ..decode.bridge import harvest_wer, run_decode
@@ -134,7 +134,25 @@ def _run_experiment(
 
     # optional nr_of_valid_per_epoch in [exp] (reference utils.py:771-782)
     n_valid = int(exp.raw["exp"].get("nr_of_valid_per_epoch", "1"))
-    plan = build_plan(exp, n_valid_per_epoch=n_valid)
+    # checkpoint cadence: save rolling ckpts every N train chunks (default
+    # 1 = the reference's per-chunk behavior).  Higher N cuts the per-chunk
+    # device->host checkpoint traffic — which dominates epoch time on a
+    # slow device link — at the cost of replaying up to N-1 chunks on crash
+    # resume (exact replay, see plan.repair_resume_point).  Env overrides
+    # the optional [exp] ckpt_every_n_chunks field.
+    ckpt_every = int(
+        os.environ.get(
+            "TPUKALDI_CKPT_EVERY",
+            exp.raw["exp"].get("ckpt_every_n_chunks", "1"),
+        )
+    )
+    plan = build_plan(exp, n_valid_per_epoch=n_valid, ckpt_every=ckpt_every)
+    for removed in repair_resume_point(plan):
+        _log(
+            out_folder,
+            f"[resume] {removed} invalidated (no restorable checkpoint); "
+            f"the chunk will be replayed deterministically",
+        )
     mesh = None
     if use_mesh:
         from ..dist.mesh import data_parallel_mesh
