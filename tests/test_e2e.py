@@ -271,3 +271,24 @@ def test_ckpt_cadence_crash_resume_replays(corpus, tmp_path_factory,
     resumed = run(str(tmp_path_factory.mktemp("cadcrash")), crash_after=2)
     monkeypatch.delenv("TPUKALDI_CKPT_EVERY", raising=False)
     assert resumed[-len(control):] == control
+
+
+def test_multistep_fusion_reproduces_unfused(corpus, tmp_path_factory,
+                                             monkeypatch):
+    """TPUKALDI_MULTISTEP=K fuses K train AND eval batches into single
+    dispatches; the fused run must reproduce the unfused run's res.res
+    exactly (identical math, one launch)."""
+    import re
+
+    def run(out, k):
+        monkeypatch.setenv("TPUKALDI_MULTISTEP", str(k))
+        cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=2,
+                        n_chunks=2, batch_size=16, lr=0.2)
+        run_experiment(cfg)
+        lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+        return [re.sub(r"time\(s\)=\d+", "", l) for l in lines]
+
+    unfused = run(str(tmp_path_factory.mktemp("k1")), 1)
+    fused = run(str(tmp_path_factory.mktemp("k4")), 4)
+    monkeypatch.delenv("TPUKALDI_MULTISTEP", raising=False)
+    assert fused == unfused

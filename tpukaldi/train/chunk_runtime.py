@@ -35,8 +35,8 @@ from ..plan.planner import ChunkTask
 from . import checkpoint as ckpt
 from .checkpoint import AsyncCheckpointer
 from .optimizers import make_all_optimizers, set_lr
-from .step import (make_eval_step, make_forward_step, make_train_step,
-                   make_train_multistep)
+from .step import (make_eval_multistep, make_eval_step, make_forward_step,
+                   make_train_step, make_train_multistep)
 
 
 @dataclass
@@ -163,6 +163,9 @@ class ChunkRuntime:
             self._train_multistep = make_train_multistep(
                 self.graph, self.optimizers, frozen, mesh=self.mesh
             )
+            self._eval_multistep = make_eval_multistep(
+                self.graph, mesh=self.mesh
+            )
         self._eval_step = make_eval_step(self.graph, mesh=self.mesh)
         self._forward_step = make_forward_step(self.graph)
 
@@ -262,8 +265,17 @@ class ChunkRuntime:
         train = task.phase == "train"
         n, frames = 0, 0
         losses, errs = [], []  # device scalars; converted once at chunk end
-        rng = jax.random.key(task.seed)
         all_batches = list(self._batches(chunk, batch_size, train, task.seed))
+        # per-batch dropout keys: fold_in(chunk_key, batch_index), computed
+        # in ONE dispatch — the key stream is a pure function of
+        # (task.seed, batch index), so K-step fusion is bit-transparent
+        # (the fused path slices the same keys the unfused path uses)
+        batch_keys = None
+        if train and all_batches:
+            chunk_key = jax.random.key(task.seed)
+            batch_keys = jax.vmap(
+                lambda j: jax.random.fold_in(chunk_key, j)
+            )(jax.numpy.arange(len(all_batches)))
         K = getattr(self, "_multistep_k", 1)
 
         def _stackable(group):
@@ -283,8 +295,8 @@ class ChunkRuntime:
         ) != "0"
         i = 0
         while i < len(all_batches):
-            # fuse K consecutive same-shape train batches into one dispatch
-            if train and K > 1 and i + K <= len(all_batches) and _stackable(
+            # fuse K consecutive same-shape batches into one dispatch
+            if K > 1 and i + K <= len(all_batches) and _stackable(
                 all_batches[i : i + K]
             ):
                 group = all_batches[i : i + K]
@@ -296,13 +308,18 @@ class ChunkRuntime:
                     [b.n_valid_t or b.feats.shape[0] for b in group],
                     dtype=jax.numpy.int32,
                 ) if self.seq_model else None
-                rng, sub = jax.random.split(rng)
-                rngs_k = jax.random.split(sub, K)
-                (self.params, self.batch_stats, self.opt_states,
-                 loss_k, err_k) = self._train_multistep(
-                    self.params, self.batch_stats, self.opt_states,
-                    feats_k, labs_k, rngs_k, n_valid_k,
-                )
+                if train:
+                    rngs_k = batch_keys[i : i + K]
+                    (self.params, self.batch_stats, self.opt_states,
+                     loss_k, err_k) = self._train_multistep(
+                        self.params, self.batch_stats, self.opt_states,
+                        feats_k, labs_k, rngs_k, n_valid_k,
+                    )
+                else:
+                    loss_k, err_k = self._eval_multistep(
+                        self.params, self.batch_stats, feats_k, labs_k,
+                        n_valid_k,
+                    )
                 losses.append(loss_k)
                 errs.append(err_k)
                 n += K
@@ -312,10 +329,12 @@ class ChunkRuntime:
                 )
                 i += K
                 if show_progress:
-                    print(f"\rTraining | (Batch {n}/{n_batches})",
+                    label = "Training" if train else "Validating"
+                    print(f"\r{label} | (Batch {n}/{n_batches})",
                           end="", flush=True)
                 continue
             batch = all_batches[i]
+            batch_index = i
             i += 1
             feats = jax.numpy.asarray(batch.feats)
             labs = jax.numpy.asarray(batch.labs)
@@ -333,11 +352,10 @@ class ChunkRuntime:
                 else feats.shape[0]
             )
             if train:
-                rng, sub = jax.random.split(rng)
                 (self.params, self.batch_stats, self.opt_states, loss, err
                  ) = self._train_step(
                     self.params, self.batch_stats, self.opt_states,
-                    feats, labs, sub, n_valid,
+                    feats, labs, batch_keys[batch_index], n_valid,
                 )
             else:
                 loss, err = self._eval_step(

@@ -148,6 +148,55 @@ def make_eval_step(graph: GraphSpec, mesh: Optional[Mesh] = None):
     return jax.jit(step)
 
 
+def make_eval_multistep(graph: GraphSpec, mesh: Optional[Mesh] = None):
+    """K eval batches fused into ONE jitted dispatch via lax.scan over
+    stacked same-shape batches — identical math to K calls of
+    make_eval_step (per-batch means, no state), one launch.  Validation has
+    no backward, so per-dispatch latency is a larger fraction of its step
+    time than training's; on a slow device link this fusion is what keeps
+    the validation stage device-bound.
+
+    Signature: multi(params, stats, feats (K,...), labs (K,...),
+    n_valid_k (K,)) -> (losses (K,), errs (K,))."""
+
+    def one(params, batch_stats, feats, labs, n_valid_t):
+        if mesh is not None:
+            batch_axis = 1 if feats.ndim == 3 else 0
+            spec = [None] * feats.ndim
+            spec[batch_axis] = "data"
+            feats = jax.lax.with_sharding_constraint(
+                feats, NamedSharding(mesh, P(*spec))
+            )
+            lspec = [None] * labs.ndim
+            lspec[batch_axis] = "data"
+            labs = jax.lax.with_sharding_constraint(
+                labs, NamedSharding(mesh, P(*lspec))
+            )
+        outs, _ = apply_graph(
+            graph, params, batch_stats, feats, labs, train=False,
+            to_do="valid", n_valid_t=n_valid_t,
+        )
+        return outs["loss_final"], outs["err_final"]
+
+    def multi(params, batch_stats, feats_k, labs_k, n_valid_k=None):
+        if n_valid_k is None:
+            K = feats_k.shape[0]
+            n_valid_k = jax.numpy.full(
+                (K,), feats_k.shape[1], dtype=jax.numpy.int32
+            )
+
+        def scan_body(carry, xs):
+            f, l, nv = xs
+            return carry, one(params, batch_stats, f, l, nv)
+
+        _, (losses, errs) = jax.lax.scan(
+            scan_body, 0, (feats_k, labs_k, n_valid_k)
+        )
+        return losses, errs
+
+    return jax.jit(multi)
+
+
 def make_forward_step(graph: GraphSpec, out_names: Optional[list] = None):
     """Posterior computation for one utterance batch: returns the requested
     forward outputs flattened to (T*B, C).  `lengths` makes bucket-padded
