@@ -228,3 +228,21 @@ def test_missing_field_rejected(tmp_path):
     bad.write_text(text)
     with pytest.raises(ConfigError, match="halving"):
         C.load_config(str(bad))
+
+
+def test_missing_dataset_field_is_config_error(tmp_path):
+    """A [dataset*] section missing a required field must raise ConfigError
+    (the documented embeddability contract), not a raw KeyError."""
+    from tpukaldi.config import ConfigError, load_config
+    from tpukaldi.data.synth import generate_corpus, write_cfg
+
+    corpus = generate_corpus(str(tmp_path / "c"), n_utts=4, seed=0)
+    cfg = write_cfg(corpus, str(tmp_path / "e"), arch="MLP")
+    text = open(cfg).read()
+    import re
+
+    text = re.sub(r"^n_chunks = .*$", "", text, count=1, flags=re.M)
+    bad = tmp_path / "bad.cfg"
+    bad.write_text(text)
+    with pytest.raises(ConfigError, match="n_chunks"):
+        load_config(str(bad))

@@ -86,7 +86,7 @@ def test_example_cfg_runs(kaldi_tree, tmp_path_factory):
         f"lab_opts=ali-to-pdf\n\tlab_nout={N_CLASSES}",
     )
     # shrink the run: 2 epochs, 2 chunks, small layers
-    cfg_text = cfg_text.replace("n_epochs_tr = 24", "n_epochs_tr = 2")
+    cfg_text = cfg_text.replace("n_epochs_tr = 24", "n_epochs_tr = 3")
     cfg_text = cfg_text.replace("n_chunks = 5", "n_chunks = 2")
     cfg_text = cfg_text.replace(
         "dnn_lay = 1024,1024,1024,1024,N_out_lab_cd",
@@ -114,10 +114,12 @@ def test_example_cfg_runs(kaldi_tree, tmp_path_factory):
     run_experiment(cfg_path)
 
     lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
-    assert len(lines) == 2
+    assert len(lines) == 3
     errs = [float(re.search(r"valid=\S+ loss=\S+ err=(\d+\.\d+)", l).group(1))
             for l in lines]
-    assert errs[-1] < 0.35, errs  # separable task: should learn well
+    # separable task: must keep improving and end well below chance
+    assert errs[-1] < errs[0]
+    assert errs[-1] < 0.35, errs
     ef = os.path.join(out, "exp_files")
     arks = [f for f in os.listdir(ef) if f.endswith("_to_decode.ark")]
     assert arks

@@ -145,3 +145,122 @@ def test_fea_only_production_keeps_rates_differ(raw_corpus):
     for ln in chunk.sentence_lengths:
         n_out = (int(ln) - WIN) // SHIFT + 1
         assert n_out > 0
+
+
+def test_curriculum_keeps_rawwave_tuple():
+    """increase_seq_length_train must NOT replace the raw-wave 6-tuple with
+    a bare int (that would destroy the sample<->frame rate relation); the
+    reference no-ops the curriculum for the tuple (utils.py:1083-1092)."""
+    from tpukaldi.config.cfg import BatchesSpec
+
+    b = BatchesSpec(
+        batch_size_train=[8, 8],
+        max_seq_length_train=[MSL, MSL],
+        increase_seq_length_train=True,
+        start_seq_len_train=100,
+        multply_factor_seq_len_train=2,
+        batch_size_valid=8,
+        max_seq_length_valid=500,
+    )
+    assert b.seq_length_for_epoch(0) == MSL
+    assert b.seq_length_for_epoch(1) == MSL
+    # int cfgs keep the growing curriculum
+    b2 = BatchesSpec([8, 8], [500, 500], True, 100, 2, 8, 500)
+    assert b2.seq_length_for_epoch(0) == 100
+    assert b2.seq_length_for_epoch(1) == 200
+
+
+def test_zero_step_tuple_raises(raw_corpus):
+    """A 6-tuple with step 0 previously hung _split_sentence forever; it
+    must raise instead."""
+    bad = [32000, 0, 199, 199, SHIFT, WIN]
+    with pytest.raises(ValueError, match="steps must be positive"):
+        load_chunk(_dataset(raw_corpus), ["wave"], ["lab_cd"], bad)
+
+
+def test_wav_sniffing_survives_long_keys(tmp_path):
+    """RIFF detection reads past the utterance key: an ark whose first key
+    is ~58+ chars previously pushed 'RIFF' out of the fixed 64-byte sniff
+    window and misrouted the ark into the matrix parser."""
+    import struct
+
+    from tpukaldi.data.chunk_loader import load_chunk_stream
+
+    key = "SPEAKER_0001_SESSION_0001_CHANNEL_01_SEGMENT_000123-000456_A"
+    assert len(key) > 58
+    sig = (np.sin(np.arange(2000) / 10.0) * 3000).astype("<i2")
+    riff = (b"RIFF" + struct.pack("<I", 36 + sig.nbytes) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+            + b"data" + struct.pack("<I", sig.nbytes) + sig.tobytes())
+    ark = tmp_path / "w.ark"
+    with open(ark, "wb") as f:
+        offs = {}
+        f.write(key.encode() + b" ")
+        offs[key] = f.tell()
+        f.write(riff)
+    scp = tmp_path / "w.scp"
+    scp.write_text(f"{key} {ark}:{offs[key]}\n")
+    fea = FeatureSpec("wave", str(scp), "", 0, 0)
+    names, feats, labs, ei, lei = load_chunk_stream(fea, None, -1,
+                                                    fea_only=True)
+    assert names == [key]
+    assert feats.shape[0] == 2000  # samples, not a misparsed matrix
+
+
+def test_riff_pad_byte_after_odd_chunk(tmp_path):
+    """Spec-valid wavs word-align chunks: an odd-sized LIST chunk before
+    'data' must not shift the parse by its pad byte."""
+    import struct
+
+    from tpukaldi.io.kaldi_io import _read_riff_wav
+
+    sig = (np.arange(100) * 10).astype("<i2")
+    odd = b"INFOx"  # 5 bytes -> pad byte required
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+            + b"LIST" + struct.pack("<I", len(odd)) + odd + b"\x00"
+            + b"data" + struct.pack("<I", sig.nbytes) + sig.tobytes())
+    riff = b"RIFF" + struct.pack("<I", len(body)) + body
+    import io
+
+    out = _read_riff_wav(io.BytesIO(riff))
+    np.testing.assert_array_equal(out, sig.astype(np.float32))
+
+
+def test_multistream_load_count(tmp_path, monkeypatch):
+    """F feature streams x L label streams must cost F + L - 1 stream
+    loads, not F x L (the extra passes were full ark reads whose data was
+    discarded)."""
+    import tpukaldi.data.chunk_loader as cl
+    from tpukaldi.io import ArkScpWriter as W
+
+    rng = np.random.default_rng(1)
+    root = tmp_path
+    for stream in ("a", "b", "c"):
+        with W(str(root / f"{stream}.ark"), str(root / f"{stream}.scp")) as w:
+            for i in range(4):
+                w.write(f"utt{i}", rng.standard_normal((20, 3)).astype(np.float32))
+    with open(root / "labs.ark", "wb") as f:
+        for i in range(4):
+            write_vec_int(f, rng.integers(0, 3, 20), key=f"utt{i}")
+    ds = DatasetSpec(
+        name="ms", section="dataset1",
+        features={s: FeatureSpec(s, str(root / f"{s}.scp"), "", 0, 0)
+                  for s in ("a", "b", "c")},
+        labels={f"lab{j}": LabelSpec(f"lab{j}", str(root / "labs.ark"), "")
+                for j in range(2)},
+        n_chunks=1,
+    )
+    calls = {"n": 0}
+    real = cl.load_chunk_stream
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(cl, "load_chunk_stream", counting)
+    chunk = cl.load_chunk(ds, ["a", "b", "c"], ["lab0", "lab1"], 1000)
+    assert calls["n"] == 4  # F + L - 1 = 3 + 2 - 1
+    assert chunk.feats.shape[1] == 9 and chunk.labs.shape[1] == 2

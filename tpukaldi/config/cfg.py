@@ -102,13 +102,20 @@ class BatchesSpec:
 
     def seq_length_for_epoch(self, epoch: int) -> Any:
         """Curriculum on sequence length (utils.py:926-932,1083-1092)."""
-        if not self.increase_seq_length_train:
-            return self.max_seq_length_train[epoch]
-        cur = self.start_seq_len_train * (self.multply_factor_seq_len_train**epoch)
         cap = self.max_seq_length_train[epoch]
-        if isinstance(cap, int):
-            cur = min(cur, cap)
-        return cur
+        if not self.increase_seq_length_train:
+            return cap
+        if isinstance(cap, (list, tuple)):
+            # raw-wave 6-tuple (size/step for fea+lab, shift, window): the
+            # curriculum would replace it with a bare int and destroy the
+            # sample<->frame rate relation — the reference keeps the tuple
+            # and no-ops the curriculum (utils.py:1083-1092)
+            return cap
+        return min(
+            self.start_seq_len_train
+            * (self.multply_factor_seq_len_train**epoch),
+            cap,
+        )
 
     def msl_for_phase(self, phase: str, epoch: int = 0) -> Any:
         """Phase-appropriate max_seq_length.  When train uses the raw-wave
@@ -400,7 +407,7 @@ def _detect_production(config, forward_with: List[str]) -> bool:
     """Production (transcription-only) mode: a forward dataset declares
     `lab_name=none` (reference: utils.py:535-555)."""
     for sec in _dataset_sections(config):
-        if config[sec]["data_name"] in forward_with:
+        if config[sec].get("data_name") in forward_with:
             lab_block = config[sec].get("lab", "")
             if re.search(r"lab_name\s*=\s*none", lab_block):
                 return True
@@ -526,6 +533,11 @@ def load_config(
     # --- datasets
     datasets: Dict[str, DatasetSpec] = {}
     for sec in _dataset_sections(config):
+        # config problems must surface as ConfigError, not raw KeyError
+        # (the documented embeddability contract of this module)
+        for req in ("data_name", "fea", "n_chunks"):
+            if req not in config[sec]:
+                raise ConfigError(f"[{sec}] missing required field {req!r}")
         name = config[sec]["data_name"]
         feats = parse_fea_field(config[sec]["fea"], strict_paths=strict_paths)
         lab_block = config[sec].get("lab", "")

@@ -92,6 +92,19 @@ def _chunk_config(max_seq_length) -> Dict[str, int]:
     size_fea, step_fea, size_lab, step_lab, window_shift, window_size."""
     if isinstance(max_seq_length, (list, tuple)):
         sf, stf, sl, stl, shift, window = [int(v) for v in max_seq_length]
+        # a zero/negative step would make _split_sentence's window never
+        # advance (unbounded loop); sizes of -1 mean "no splitting"
+        # (forward mode) and skip the split path entirely
+        if sf > 0 and (stf <= 0 or stl <= 0):
+            raise ValueError(
+                f"max_seq_length steps must be positive when splitting: "
+                f"step_fea={stf}, step_lab={stl} (6-tuple {max_seq_length})"
+            )
+        if shift <= 0 or window <= 0:
+            raise ValueError(
+                f"max_seq_length window_shift/window_size must be positive "
+                f"(6-tuple {max_seq_length})"
+            )
         return {
             "size_fea": sf, "step_fea": stf, "size_lab": sl, "step_lab": stl,
             "window_shift": shift, "window_size": window,
@@ -158,7 +171,11 @@ def load_dataset_stream(
     is_wav = False
     path = first_rx[1].rpartition(":")[0] or first_rx[1]
     with open(path, "rb") as f:
-        head = f.read(64)
+        # the RIFF magic sits right after the first utterance key in a wav
+        # ark, so the window must cover the longest plausible key (a fixed
+        # 64 bytes truncated long TIMIT-style keys and misrouted the ark
+        # into the matrix parser)
+        head = f.read(max(64, len(first_rx[0]) + 16))
         is_wav = b"RIFF" in head
 
     feats: Dict[str, np.ndarray] = {}
@@ -298,7 +315,16 @@ def load_chunk(
     fea_layout: Dict[str, Tuple[int, int]] = {}
     col = 0
     for fi, fea in enumerate(feas):
-        lab_sources = labs if labs else [None]
+        # stream fi is loaded against every label only for fi == 0 (that
+        # pass yields all_labs and the cross-checks); additional feature
+        # streams only need one pass against lab 0 — the (fi>0, li>0)
+        # combinations the reference also loads (data_io.py:551-564) are
+        # full ark reads + splice + CMVN whose result is thrown away, and
+        # their consistency is implied by the (0, li) and (fi, 0) checks
+        if labs:
+            lab_sources = labs if fi == 0 else labs[:1]
+        else:
+            lab_sources = [None]
         for li, lab in enumerate(lab_sources):
             n_, f_, l_, e_, le_ = load_chunk_stream(
                 fea, lab, max_seq_length, fea_only

@@ -102,8 +102,13 @@ def _labels_via_kaldi(folder: str, opts: str) -> Dict[str, np.ndarray]:
             f"pre-dump labels once with: gunzip -c {folder}/ali*.gz | "
             f"{opts} {mdl} ark:- ark:{folder}/labels.ark"
         )
+    import shlex
+
+    # quote every interpolated path: folders with spaces/metacharacters
+    # must not split the command or inject into the shell
     shell = (
-        f"gunzip -c {' '.join(ali_files)} | {opts} {mdl} ark:- ark:-"
+        f"gunzip -c {' '.join(shlex.quote(a) for a in ali_files)} | "
+        f"{opts} {shlex.quote(mdl)} ark:- ark:-"
     )
     proc = subprocess.run(shell, shell=True, stdout=subprocess.PIPE, check=True)
     import io as _io

@@ -98,7 +98,9 @@ def load_corpus(root: str, splits=("train", "dev", "test")) -> SynthCorpus:
 
     counts_file = os.path.join(root, "counts")
     n_classes = int(load_counts(counts_file).shape[0])
-    first = next(read_mat_ark(os.path.join(root, splits[0], "feats.ark")))
+    gen = read_mat_ark(os.path.join(root, splits[0], "feats.ark"))
+    first = next(gen)
+    gen.close()  # release the ark file handle (the generator owns it)
     return SynthCorpus(
         root=root,
         feats_scp={s: os.path.join(root, s, "feats.scp") for s in splits},

@@ -55,12 +55,13 @@ def run_decode(
     if dec.script and not os.path.isfile(script):
         # the framework ships its own decode/scoring scripts (same call
         # contract as the reference's kaldi_decoding_scripts/) so a recipe
-        # pointing at a non-existent external folder still decodes; the
-        # fallback is logged below via the resolved path
+        # pointing at a non-existent external folder still decodes — but
+        # only when the Kaldi binaries the shipped driver runs are actually
+        # installed; otherwise keep the soft-skip (posteriors stay on disk)
         shipped = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "scripts", dec.script
         )
-        if os.path.isfile(shipped):
+        if os.path.isfile(shipped) and shutil.which("latgen-faster-mapped"):
             with open(log_file, "a") as f:
                 f.write(
                     f"[decode] {script!r} not found; using the shipped "

@@ -73,8 +73,25 @@ def _peek(fd: BinaryIO, n: int) -> bytes:
         data = fd.read(n)
         fd.seek(pos)
         return data
-    data = getattr(fd, "peek", lambda k: b"")(n)
-    return data[:n]
+    peek = getattr(fd, "peek", None)
+    if peek is None:
+        raise KaldiIOError(
+            f"cannot peek unseekable stream without .peek ({type(fd).__name__}); "
+            f"wrap it in io.BufferedReader"
+        )
+    data = peek(n)[:n]
+    if 0 < len(data) < n:
+        # BufferedReader.peek cannot refill past its buffer boundary, so a
+        # short peek mid-stream is ambiguous with EOF for the caller; fail
+        # loudly instead of letting format detection run on partial bytes
+        # (callers treat b"" as EOF, which stays silent)
+        if peek(1):
+            raise KaldiIOError(
+                f"short peek ({len(data)}/{n} bytes) at a buffer boundary "
+                f"of an unseekable stream; buffer the stream fully "
+                f"(e.g. io.BytesIO) before parsing"
+            )
+    return data
 
 
 # ---------------------------------------------------------------------------
@@ -284,6 +301,8 @@ def _read_riff_wav(fd: BinaryIO) -> np.ndarray:
             break
         else:
             fd.read(size)
+        if size % 2:  # RIFF chunks are word-aligned: skip the pad byte
+            fd.read(1)
     if data is None:
         raise KaldiIOError("RIFF stream has no data chunk")
     if sample_bytes != 2:

@@ -114,7 +114,7 @@ def _make_subprocess_stage(cmd: str, args: List[str]) -> Stage:
         buf = _io.BytesIO()
         kio.write_mat(buf, mat, key=key)
         proc = subprocess.run(
-            [cmd] + [a if a not in ("ark:-",) else "ark:-" for a in args],
+            [cmd] + args,
             input=buf.getvalue(),
             stdout=subprocess.PIPE,
             check=True,
