@@ -290,3 +290,87 @@ def test_input_and_layer_norms_coexist():
     v2 = m2.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
                  jnp.zeros((4, 5)), train=True)
     assert {"ln_inp", "ln0", "bn_inp", "bn0"} <= set(v2["params"])
+
+
+def test_sru_skip_projection_active_when_dims_differ():
+    """sru_has_skip_term must stay active when input dim != hidden via the
+    learned projection block (the sru package's k=4 weight layout), and
+    sru_highway_bias lands on the RESET gate bias (b_r), not the forget."""
+    opts = {
+        "sru_hidden_size": "16", "sru_num_layers": "1",
+        "sru_dropout": "0.0", "sru_rnn_dropout": "0.0",
+        "sru_use_tanh": "True", "sru_use_relu": "False",
+        "sru_use_selu": "False", "sru_layer_norm": "False",
+        "sru_bidirectional": "False", "sru_has_skip_term": "True",
+        "sru_rescale": "False", "sru_highway_bias": "-2.0",
+    }
+    model = SRU(options=opts, inp_dim=12)  # 12 != 16 -> projection block
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((8, 2, 12)),
+                    jnp.float32)
+    out, variables = _init_apply(model, x)
+    p = variables["params"]
+    assert p["w0"].shape == (12, 4 * 16)  # 4th block = skip projection
+    np.testing.assert_allclose(np.asarray(p["br0"]), -2.0)
+    np.testing.assert_allclose(np.asarray(p["bf0"]), 0.0)
+    # the skip term must actually contribute: zeroing the projection block
+    # changes the output
+    import flax
+
+    p2 = flax.core.unfreeze(flax.core.freeze(p))
+    w = np.array(p2["w0"])
+    w[:, 3 * 16 :] = 0.0
+    p2["w0"] = jnp.asarray(w)
+    out2 = model.apply({"params": p2}, x, train=False)
+    assert float(jnp.max(jnp.abs(out - out2))) > 1e-4
+
+
+def test_quaternion_init_uses_experiment_seed():
+    """QLSTM init must depend on the flax RNG (experiment seed): different
+    seeds give different weights; the same seed reproduces them."""
+    opts = {
+        "lstm_lay": "16", "lstm_drop": "0.0", "lstm_bidir": "False",
+        "lstm_act": "tanh", "quaternion_init": "quaternion",
+        "autograd": "True",
+    }
+    model = QLSTM(options=opts, inp_dim=8)
+    x = jnp.zeros((4, 2, 8), jnp.float32)
+    v1 = model.init({"params": jax.random.key(0)}, x, train=False)
+    v1b = model.init({"params": jax.random.key(0)}, x, train=False)
+    v2 = model.init({"params": jax.random.key(1)}, x, train=False)
+    l1 = jax.tree_util.tree_leaves(v1["params"])
+    l1b = jax.tree_util.tree_leaves(v1b["params"])
+    l2 = jax.tree_util.tree_leaves(v2["params"])
+    assert all(np.array_equal(a, b) for a, b in zip(l1, l1b))
+    assert any(not np.array_equal(a, b) for a, b in zip(l1, l2))
+
+
+def test_cnn_input_normalization_applied():
+    """{cnn,sinc}_use_laynorm_inp / _use_batchnorm_inp must actually apply
+    (the raw-waveform recipes depend on per-window input LayerNorm,
+    reference neural_networks.py:1491-1497,1536-1541)."""
+    from tpukaldi.models import CNN
+
+    base = {
+        "cnn_n_filt": "8", "cnn_len_filt": "16", "cnn_max_pool_len": "2",
+        "cnn_use_laynorm": "False", "cnn_use_batchnorm": "False",
+        "cnn_act": "relu", "cnn_drop": "0.0",
+        "cnn_use_laynorm_inp": "False", "cnn_use_batchnorm_inp": "False",
+    }
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((6, 64)) * 5 + 3.0,
+        jnp.float32,
+    )
+    plain = CNN(options=dict(base), inp_dim=64)
+    vp = plain.init({"params": jax.random.key(0)}, x)
+    normed = CNN(
+        options=dict(base, cnn_use_laynorm_inp="True"), inp_dim=64
+    )
+    vn = normed.init({"params": jax.random.key(0)}, x)
+    assert "ln_inp" in vn["params"], list(vn["params"])
+    out_p = plain.apply(vp, x)
+    # apply the normed model with the plain conv weights + fresh ln params
+    out_n = normed.apply(vn, x)
+    assert float(jnp.max(jnp.abs(out_p - out_n))) > 1e-3
+    bn = CNN(options=dict(base, cnn_use_batchnorm_inp="True"), inp_dim=64)
+    vb = bn.init({"params": jax.random.key(0)}, x)
+    assert "batch_stats" in vb and "bn_inp" in vb["params"]

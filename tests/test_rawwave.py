@@ -264,3 +264,53 @@ def test_multistream_load_count(tmp_path, monkeypatch):
     chunk = cl.load_chunk(ds, ["a", "b", "c"], ["lab0", "lab1"], 1000)
     assert calls["n"] == 4  # F + L - 1 = 3 + 2 - 1
     assert chunk.feats.shape[1] == 9 and chunk.labs.shape[1] == 2
+
+
+def test_forward_converts_lengths_to_frame_rate(raw_corpus, monkeypatch):
+    """Bidirectional reversal runs at the OUTPUT frame rate: for raw-wave
+    forward the in-graph lengths must be converted from sample counts
+    ((ln - window)//shift + 1), or every reversed index clamps to the last
+    frame and the backward direction sees a constant input."""
+    from tpukaldi.train.chunk_runtime import ChunkRuntime
+
+    chunk = load_chunk(_dataset(raw_corpus), ["wave"], [], MSL, fea_only=True)
+    assert chunk.rates_differ
+
+    captured = []
+
+    class FakeRuntime(ChunkRuntime):
+        def __init__(self):  # bypass the exp-requiring constructor
+            self.exp = type("E", (), {"forward": None})()
+
+        def ensure_initialized(self, *a, **k):
+            pass
+
+        def restore_from(self, *a, **k):
+            pass
+
+        def _forward_step(self, params, stats, feats, lengths):
+            captured.append(np.asarray(lengths))
+            return {"out": jnp.zeros((feats.shape[0], feats.shape[1], 4))}
+
+    rt = FakeRuntime()
+    rt.params, rt.batch_stats = {}, {}
+
+    class NullWriter:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def write(self, *a):
+            pass
+
+    import tpukaldi.train.chunk_runtime as cr
+
+    monkeypatch.setattr(cr, "PosteriorWriter", lambda *a, **k: NullWriter())
+    task = type("T", (), {"info_file": "/dev/null", "pretrain_files": {}})()
+    rt._run_forward(task, chunk)
+    assert captured
+    for lens, expect_samples in zip(captured, chunk.sentence_lengths):
+        n_frames = (int(expect_samples) - WIN) // SHIFT + 1
+        assert lens.tolist() == [n_frames]

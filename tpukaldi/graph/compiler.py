@@ -95,13 +95,13 @@ def init_graph(
         if s.op != "compute":
             if s.op in ("concatenate", "mult", "sum", "avg"):
                 if s.arg1 in outs and s.arg2 in outs:
-                    axis = outs[s.arg1].ndim - 1
+                    # same 2D/3D shim as apply_graph: seq and non-seq
+                    # outputs may mix in one elementwise/concat op
+                    a, b = _harmonize(outs[s.arg1], outs[s.arg2])
                     if s.op == "concatenate":
-                        outs[s.out] = jnp.concatenate(
-                            [outs[s.arg1], outs[s.arg2]], axis=axis
-                        )
+                        outs[s.out] = jnp.concatenate([a, b], axis=a.ndim - 1)
                     else:
-                        outs[s.out] = outs[s.arg1]
+                        outs[s.out] = a
             elif s.op in ("mult_constant", "sum_constant") and s.arg1 in outs:
                 outs[s.out] = outs[s.arg1]
             continue

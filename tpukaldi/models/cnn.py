@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from ..config.schema import to_bool
 from .common import (
+    RefLayerNorm,
     act_fun,
     bool_list,
     float_list,
@@ -180,6 +181,14 @@ class _ConvStack(nn.Module):
         drop = float_list(o[f"{p}_drop"])
         use_ln = bool_list(o[f"{p}_use_laynorm"])
         use_bn = bool_list(o[f"{p}_use_batchnorm"])
+
+        # input normalization over the raw sample window (the raw-waveform
+        # recipes depend on this; reference neural_networks.py:1491-1497
+        # + forward :1536-1541)
+        if to_bool(o.get(f"{p}_use_laynorm_inp", "False")):
+            x = RefLayerNorm(self.inp_dim, name="ln_inp")(x)
+        if to_bool(o.get(f"{p}_use_batchnorm_inp", "False")):
+            x = make_batchnorm(not train, name="bn_inp")(x)
 
         N = x.shape[0]
         x = x.reshape(N, 1, self.inp_dim)  # (N, C=1, samples)

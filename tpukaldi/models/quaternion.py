@@ -106,6 +106,17 @@ def quaternion_init_arrays(in_features4: int, out_features4: int, seed: int,
     return r, i, j, k
 
 
+def _np_seed_from_rng(module: nn.Module, offset: int) -> int:
+    """Derive a numpy RandomState seed from the module's flax 'params' RNG
+    (concrete during eager init) plus a structural offset.  Outside
+    initialization the value is never used (params already exist)."""
+    if not module.is_initializing():
+        return offset
+    key = jax.random.fold_in(module.make_rng("params"), offset)
+    data = np.asarray(jax.random.key_data(key)).ravel()
+    return int(data[-1]) & 0x7FFFFFFF
+
+
 class QuaternionDense(nn.Module):
     """Quaternion linear layer; features must be divisible by 4."""
 
@@ -123,10 +134,17 @@ class QuaternionDense(nn.Module):
                 f"quaternion dims must be multiples of 4, got {din}->{dout}"
             )
 
+        # the numpy RandomState seed derives from the flax init RNG (i.e.
+        # the experiment seed), folded with self.seed for per-gate
+        # distinctness — a fixed literal seed would make every run and
+        # every same-shape instance bit-identical.  One seed is drawn per
+        # module call so the r/i/j/k components share the chi-modulus draw.
+        np_seed = _np_seed_from_rng(self, self.seed)
+
         def make(name, idx):
             def init(key, shape):
                 arrays = quaternion_init_arrays(
-                    din // 4, dout // 4, self.seed, self.weight_init
+                    din // 4, dout // 4, np_seed, self.weight_init
                 )
                 return jnp.asarray(arrays[idx], dtype=jnp.float32)
 
@@ -190,9 +208,13 @@ class QLSTM(nn.Module):
             # recurrent quaternion weights as raw params, fused into one
             # (H, 4H) Hamilton kernel so the scan body is a single matmul
             def rec_init(gate_idx):
+                # seed from the experiment RNG (see _np_seed_from_rng), the
+                # structural offset keeps per-gate/per-layer distinctness
+                np_seed = _np_seed_from_rng(self, i * 8 + 4 + gate_idx)
+
                 def init(key, shape):
                     arrays = quaternion_init_arrays(
-                        hidden // 4, hidden // 4, i * 8 + 4 + gate_idx, winit
+                        hidden // 4, hidden // 4, np_seed, winit
                     )
                     return jnp.stack(
                         [jnp.asarray(a, jnp.float32) for a in arrays]

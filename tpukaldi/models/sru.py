@@ -11,7 +11,12 @@ body runs entirely on the VPU:
   f_t = sigmoid(W_f x_t + v_f * c_{t-1} + b_f)
   c_t = f_t * c_{t-1} + (1 - f_t) * (W x_t)
   r_t = sigmoid(W_r x_t + v_r * c_{t-1} + b_r)
-  h_t = r_t * g(c_t) + (1 - r_t) * x_t * alpha   (highway skip)
+  h_t = r_t * g(c_t) + (1 - r_t) * x'_t * alpha   (highway skip)
+
+where x'_t = x_t when input dim == hidden, else a learned projection
+(the sru package's 4th weight block).  Per the sru package convention,
+`sru_highway_bias` initializes the RESET gate bias b_r (b_f starts at
+zero) and alpha = (1 + 2 e^{b_r})^0.5 rescales the skip when sru_rescale.
 
 Options follow proto/SRU.proto: sru_hidden_size, sru_num_layers,
 sru_dropout (between layers), sru_rnn_dropout (on input), sru_use_tanh/
@@ -79,27 +84,33 @@ class SRU(nn.Module):
                 x = jnp.concatenate([x, _reverse_time(x, lengths)], axis=1)
             Bp = x.shape[1]
 
+            # the sru package packs a 4th weight block projecting x for the
+            # highway term whenever n_in != out_size (k=4 in SRUCell); with
+            # matching dims the raw x is used
+            project_skip = skip and D != hidden
+            n_blocks = 4 if project_skip else 3
             w = self.param(
-                f"w{layer}", torch_linear_uniform(D), (D, 3 * hidden)
+                f"w{layer}", torch_linear_uniform(D), (D, n_blocks * hidden)
             )
             vf = self.param(f"vf{layer}", nn.initializers.zeros, (hidden,))
             vr = self.param(f"vr{layer}", nn.initializers.zeros, (hidden,))
-            bf = self.param(
-                f"bf{layer}",
+            # sru convention (SRUCell.reset_parameters): the forget bias is
+            # zero and highway_bias lands on the RESET/highway gate bias
+            bf = self.param(f"bf{layer}", nn.initializers.zeros, (hidden,))
+            br = self.param(
+                f"br{layer}",
                 nn.initializers.constant(highway_bias),
                 (hidden,),
             )
-            br = self.param(f"br{layer}", nn.initializers.zeros, (hidden,))
 
-            ff = (x.reshape(T * Bp, D) @ w).reshape(T, Bp, 3 * hidden)
+            ff = (x.reshape(T * Bp, D) @ w).reshape(T, Bp, n_blocks * hidden)
             u, wf_x, wr_x = (
                 ff[..., :hidden],
                 ff[..., hidden : 2 * hidden],
-                ff[..., 2 * hidden :],
+                ff[..., 2 * hidden : 3 * hidden],
             )
-            # skip term needs matching dims; project via slicing is invalid,
-            # so the highway path only applies when D == hidden
-            use_skip = skip and D == hidden
+            x_skip = ff[..., 3 * hidden :] if project_skip else x
+            use_skip = skip
 
             def step(c, inp, vf=vf, vr=vr, bf=bf, br=br, g=g,
                      use_skip=use_skip, alpha=alpha):
@@ -113,7 +124,7 @@ class SRU(nn.Module):
                 return c, h
 
             c0 = jnp.zeros((Bp, hidden), dtype=x.dtype)
-            _, h = jax.lax.scan(step, c0, (u, wf_x, wr_x, x))
+            _, h = jax.lax.scan(step, c0, (u, wf_x, wr_x, x_skip))
             if bidir:
                 h_f = h[:, : Bp // 2]
                 h_b = _reverse_time(h[:, Bp // 2 :], lengths)

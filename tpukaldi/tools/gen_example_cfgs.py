@@ -655,7 +655,7 @@ sinc_max_pool_len = 3,3,3
 sinc_sample_rate = 16000
 sinc_min_low_hz = 50
 sinc_min_band_hz = 50
-sinc_use_laynorm_inp = False
+sinc_use_laynorm_inp = True
 sinc_use_batchnorm_inp = False
 sinc_use_laynorm = True,True,True
 sinc_use_batchnorm = False,False,False

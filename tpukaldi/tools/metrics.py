@@ -13,7 +13,10 @@ import re
 from typing import Dict, List
 
 _EPOCH_RE = re.compile(
-    r"ep=(\d+)\s+tr=\S+\s+loss=([\d.]+)\s+err=([\d.]+)(.*)"
+    # tr= carries the train_with list repr, which contains spaces for
+    # multi-dataset training (["a", "b"]) — match the bracketed form or a
+    # single bare token
+    r"ep=(\d+)\s+tr=(?:\[.*?\]|\S+)\s+loss=([\d.]+)\s+err=([\d.]+)(.*)"
 )
 _VALID_RE = re.compile(r"valid=(\S+)\s+loss=([\d.]+)\s+err=([\d.]+)")
 _LR_RE = re.compile(r"lr_(\S+)=([\d.eE+-]+)")

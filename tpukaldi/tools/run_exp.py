@@ -181,6 +181,14 @@ def _run_experiment(
     def _task_msl(task):
         return exp.batches.msl_for_phase(task.phase, task.epoch)
 
+    # multi-host: partition the embarrassingly parallel forward stage
+    # BEFORE the prefetch schedule is built, so the feeder only ever loads
+    # this host's chunks (TPUKALDI_HOST_ID / TPUKALDI_NUM_HOSTS)
+    n_hosts = int(os.environ.get("TPUKALDI_NUM_HOSTS", "1"))
+    if n_hosts > 1:
+        host_id = int(os.environ.get("TPUKALDI_HOST_ID", "0"))
+        plan.forward_tasks = plan.shard_forward_tasks(host_id, n_hosts)
+
     schedule = [t for ep_plan in plan.epochs for t in ep_plan.tasks]
     schedule += plan.forward_tasks
     schedule_index = {id(t): i for i, t in enumerate(schedule)}
@@ -313,11 +321,9 @@ def _run_experiment(
     # ---------------- forward ----------------
     # multi-host: partition the embarrassingly parallel forward stage
     # (TPUKALDI_HOST_ID / TPUKALDI_NUM_HOSTS; the .info ledger makes the
-    # union complete and resumable — SURVEY.md §2.4)
-    n_hosts = int(os.environ.get("TPUKALDI_NUM_HOSTS", "1"))
-    if n_hosts > 1:
-        host_id = int(os.environ.get("TPUKALDI_HOST_ID", "0"))
-        plan.forward_tasks = plan.shard_forward_tasks(host_id, n_hosts)
+    # union complete and resumable — SURVEY.md §2.4); the prefetch schedule
+    # was already built from the sharded task list above, so the feeder
+    # never loads another host's chunks
 
     # production mode consumes final checkpoints from a previous training
     # run (reference run_exp.py:168-174) — fail loudly if they are missing

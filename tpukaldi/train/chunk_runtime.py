@@ -265,18 +265,24 @@ class ChunkRuntime:
         train = task.phase == "train"
         n, frames = 0, 0
         losses, errs = [], []  # device scalars; converted once at chunk end
-        all_batches = list(self._batches(chunk, batch_size, train, task.seed))
-        # per-batch dropout keys: fold_in(chunk_key, batch_index), computed
-        # in ONE dispatch — the key stream is a pure function of
-        # (task.seed, batch index), so K-step fusion is bit-transparent
-        # (the fused path slices the same keys the unfused path uses)
-        batch_keys = None
-        if train and all_batches:
-            chunk_key = jax.random.key(task.seed)
-            batch_keys = jax.vmap(
-                lambda j: jax.random.fold_in(chunk_key, j)
-            )(jax.numpy.arange(len(all_batches)))
+        # per-batch dropout keys are fold_in(chunk_key, batch_index) — a
+        # pure function of (task.seed, batch index), so K-step fusion is
+        # bit-transparent (the fused path uses the same keys the unfused
+        # path would)
+        chunk_key = jax.random.key(task.seed) if train else None
         K = getattr(self, "_multistep_k", 1)
+        # bounded K-batch lookahead window instead of materializing every
+        # padded batch of the chunk (which would hold a second full padded
+        # copy of the chunk in host RAM for its whole duration)
+        gen = self._batches(chunk, batch_size, train, task.seed)
+        window: list = []
+
+        def refill():
+            while len(window) < max(K, 1):
+                b = next(gen, None)
+                if b is None:
+                    return
+                window.append(b)
 
         def _stackable(group):
             return all(
@@ -294,12 +300,12 @@ class ChunkRuntime:
             "TPUKALDI_PROGRESS", "1"
         ) != "0"
         i = 0
-        while i < len(all_batches):
+        refill()
+        while window:
             # fuse K consecutive same-shape batches into one dispatch
-            if K > 1 and i + K <= len(all_batches) and _stackable(
-                all_batches[i : i + K]
-            ):
-                group = all_batches[i : i + K]
+            if K > 1 and len(window) >= K and _stackable(window[:K]):
+                group = window[:K]
+                del window[:K]
                 feats_k = jax.numpy.asarray(
                     np.stack([b.feats for b in group])
                 )
@@ -309,7 +315,9 @@ class ChunkRuntime:
                     dtype=jax.numpy.int32,
                 ) if self.seq_model else None
                 if train:
-                    rngs_k = batch_keys[i : i + K]
+                    rngs_k = jax.vmap(
+                        lambda j: jax.random.fold_in(chunk_key, j)
+                    )(jax.numpy.arange(i, i + K))
                     (self.params, self.batch_stats, self.opt_states,
                      loss_k, err_k) = self._train_multistep(
                         self.params, self.batch_stats, self.opt_states,
@@ -328,14 +336,16 @@ class ChunkRuntime:
                     if feats_k.ndim == 4 else feats_k.shape[1]
                 )
                 i += K
+                refill()
                 if show_progress:
                     label = "Training" if train else "Validating"
                     print(f"\r{label} | (Batch {n}/{n_batches})",
                           end="", flush=True)
                 continue
-            batch = all_batches[i]
+            batch = window.pop(0)
             batch_index = i
             i += 1
+            refill()
             feats = jax.numpy.asarray(batch.feats)
             labs = jax.numpy.asarray(batch.labs)
             n_valid = (
@@ -355,7 +365,8 @@ class ChunkRuntime:
                 (self.params, self.batch_stats, self.opt_states, loss, err
                  ) = self._train_step(
                     self.params, self.batch_stats, self.opt_states,
-                    feats, labs, batch_keys[batch_index], n_valid,
+                    feats, labs, jax.random.fold_in(chunk_key, batch_index),
+                    n_valid,
                 )
             else:
                 loss, err = self._eval_step(
@@ -410,11 +421,22 @@ class ChunkRuntime:
         with PosteriorWriter(self.exp.forward, task.info_file) as writer:
             for batch in iter_forward_batches(chunk, fwd_bs):
                 T, B = batch.feats.shape[:2]
+                # the in-graph lengths drive bidirectional reversal, which
+                # runs at the OUTPUT frame rate: for raw-wave chunks the
+                # sample counts must be converted to frame counts (a
+                # decimating front-end shrinks T; sample-rate lengths would
+                # clamp every reversed index to the last frame)
+                step_lengths = batch.lengths
+                if chunk.rates_differ:
+                    step_lengths = [
+                        (ln - chunk.window_size) // chunk.window_shift + 1
+                        for ln in batch.lengths
+                    ]
                 outs = self._forward_step(
                     self.params,
                     self.batch_stats,
                     jax.numpy.asarray(batch.feats),
-                    jax.numpy.asarray(batch.lengths),
+                    jax.numpy.asarray(step_lengths),
                 )
                 for out_name, value in outs.items():
                     # front-ends may change the time axis (samples -> mel

@@ -23,6 +23,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..graph.compiler import GraphSpec, apply_graph
 
 
+def _constrain_batch(feats, labs, mesh):
+    """Shard the batch axis over the mesh 'data' axis for both tensors —
+    (T, B, D) shards B, (N, D) shards N.  Single place so train/eval/
+    multistep stay consistent."""
+    if mesh is None:
+        return feats, labs
+    batch_axis = 1 if feats.ndim == 3 else 0
+    spec = [None] * feats.ndim
+    spec[batch_axis] = "data"
+    feats = jax.lax.with_sharding_constraint(
+        feats, NamedSharding(mesh, P(*spec))
+    )
+    if labs is not None:
+        lspec = [None] * labs.ndim
+        lspec[batch_axis] = "data"
+        labs = jax.lax.with_sharding_constraint(
+            labs, NamedSharding(mesh, P(*lspec))
+        )
+    return feats, labs
+
+
 def _loss_fn(params, graph, batch_stats, feats, labs, rngs, n_valid_t):
     outs, new_stats = apply_graph(
         graph, params, batch_stats, feats, labs, train=True, rngs=rngs,
@@ -36,18 +57,7 @@ def _make_step_body(graph, optimizers, frozen, mesh):
 
     def step(params, batch_stats, opt_states, feats, labs, rng,
              n_valid_t=None):
-        if mesh is not None:
-            batch_axis = 1 if feats.ndim == 3 else 0
-            spec = [None] * feats.ndim
-            spec[batch_axis] = "data"
-            feats = jax.lax.with_sharding_constraint(
-                feats, NamedSharding(mesh, P(*spec))
-            )
-            lspec = [None] * labs.ndim
-            lspec[batch_axis] = "data"
-            labs = jax.lax.with_sharding_constraint(
-                labs, NamedSharding(mesh, P(*lspec))
-            )
+        feats, labs = _constrain_batch(feats, labs, mesh)
         rngs = {"dropout": rng}
         (loss, (err, new_stats)), grads = jax.value_and_grad(
             _loss_fn, has_aux=True
@@ -127,18 +137,7 @@ def make_train_multistep(
 
 def make_eval_step(graph: GraphSpec, mesh: Optional[Mesh] = None):
     def step(params, batch_stats, feats, labs, n_valid_t=None):
-        if mesh is not None:
-            batch_axis = 1 if feats.ndim == 3 else 0
-            spec = [None] * feats.ndim
-            spec[batch_axis] = "data"
-            feats = jax.lax.with_sharding_constraint(
-                feats, NamedSharding(mesh, P(*spec))
-            )
-            lspec = [None] * labs.ndim
-            lspec[batch_axis] = "data"
-            labs = jax.lax.with_sharding_constraint(
-                labs, NamedSharding(mesh, P(*lspec))
-            )
+        feats, labs = _constrain_batch(feats, labs, mesh)
         outs, _ = apply_graph(
             graph, params, batch_stats, feats, labs, train=False,
             to_do="valid", n_valid_t=n_valid_t,
@@ -160,18 +159,7 @@ def make_eval_multistep(graph: GraphSpec, mesh: Optional[Mesh] = None):
     n_valid_k (K,)) -> (losses (K,), errs (K,))."""
 
     def one(params, batch_stats, feats, labs, n_valid_t):
-        if mesh is not None:
-            batch_axis = 1 if feats.ndim == 3 else 0
-            spec = [None] * feats.ndim
-            spec[batch_axis] = "data"
-            feats = jax.lax.with_sharding_constraint(
-                feats, NamedSharding(mesh, P(*spec))
-            )
-            lspec = [None] * labs.ndim
-            lspec[batch_axis] = "data"
-            labs = jax.lax.with_sharding_constraint(
-                labs, NamedSharding(mesh, P(*lspec))
-            )
+        feats, labs = _constrain_batch(feats, labs, mesh)
         outs, _ = apply_graph(
             graph, params, batch_stats, feats, labs, train=False,
             to_do="valid", n_valid_t=n_valid_t,
