@@ -176,6 +176,7 @@ def _masked_mean(vals, mask):
     exact averaging while keeping shapes static for XLA.  `mask` is None
     (or shape-mismatched, e.g. a frame-level batch) -> plain mean.
     """
+    vals = vals.astype(jnp.float32)  # cost sums stay f32 under bf16 compute
     if mask is None or vals.shape[0] != mask.shape[0]:
         return vals.mean()
     return (vals * mask).sum() / jnp.maximum(mask.sum(), 1.0)
@@ -292,7 +293,7 @@ def apply_graph(
             outs[s.out] = outs[s.arg1] + float(s.arg2)
         elif s.op == "mse":
             a, b = _harmonize(outs[s.arg1], outs[s.arg2])
-            sq = (a - b) ** 2
+            sq = ((a - b).astype(jnp.float32)) ** 2
             if sq.ndim == 3:
                 sq = sq.reshape(sq.shape[0] * sq.shape[1], -1)
             vals = sq.mean(axis=1)

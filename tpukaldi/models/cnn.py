@@ -75,10 +75,13 @@ class _CNNLayerNorm(nn.Module):
     def __call__(self, x):  # x (N, filt, time)
         gamma = self.param("gamma", nn.initializers.ones, (self.n_filt, self.n_time))
         beta = self.param("beta", nn.initializers.zeros, (self.n_filt, self.n_time))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
+        # moments in f32 (bf16 compute mode), result in the caller's dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
         n = x.shape[-1]
-        var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
-        return gamma * (x - mean) / (jnp.sqrt(var) + self.eps) + beta
+        var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
+        y = gamma.astype(jnp.float32) * (xf - mean) / (jnp.sqrt(var) + self.eps)
+        return (y + beta.astype(jnp.float32)).astype(x.dtype)
 
 
 def _to_mel(hz):
@@ -267,8 +270,13 @@ class SincNet(_ConvStack):
             (n_filt, 1),
         )
         synth = sinc_filters_fast if fast else sinc_filters_slow
+        # synthesize in f32 even under the bf16 compute mode: the learnable
+        # cutoffs live in Hz (up to nyquist) where bf16's ~3 significant
+        # digits would quantize the band edges; the finished filters are
+        # cast down for the (FLOP-heavy) convolution below
         filters = synth(
-            low_hz_, band_hz_, kernel_size, sample_rate, min_low_hz, min_band_hz
+            low_hz_.astype(jnp.float32), band_hz_.astype(jnp.float32),
+            kernel_size, sample_rate, min_low_hz, min_band_hz,
         )
         return _conv1d(x, filters[:, None, :].astype(x.dtype))
 
@@ -310,7 +318,8 @@ class logMelFb(nn.Module):
         )
         mel = power @ fb  # (B, frames, n_mels)
         log_mel = jnp.log10(jnp.maximum(mel, 1e-20))
-        return log_mel.transpose(1, 0, 2)  # (frames, B, n_mels)
+        # STFT/log run in f32 (FFT requires it); return the caller's dtype
+        return log_mel.transpose(1, 0, 2).astype(x.dtype)
 
 
 def _mel_filterbank(sample_rate: int, n_fft: int, n_mels: int) -> np.ndarray:
@@ -350,4 +359,6 @@ class channel_averaging(nn.Module):
         )
         weights = weights / weights.sum()
         assert x.shape[-1] == len(weights)
-        return jnp.einsum("tbc,c->tb", x, jnp.asarray(weights))[..., None]
+        return jnp.einsum(
+            "tbc,c->tb", x, jnp.asarray(weights, dtype=x.dtype)
+        )[..., None]

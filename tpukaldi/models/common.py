@@ -32,7 +32,10 @@ def act_fun(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     if name == "elu":
         return jax.nn.elu
     if name == "softmax":
-        return lambda x: jax.nn.log_softmax(x, axis=-1)
+        # always log-normalize in f32: under the bf16 compute mode the
+        # logits arrive half-precision, and the log-probabilities feed the
+        # NLL cost and the posterior arks — both need full precision
+        return lambda x: jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
     if name == "linear":
         return lambda x: x
     raise ValueError(f"unknown activation {name!r}")
@@ -86,16 +89,31 @@ class RefLayerNorm(nn.Module):
     def __call__(self, x):
         gamma = self.param("gamma", nn.initializers.ones, (self.features,))
         beta = self.param("beta", nn.initializers.zeros, (self.features,))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
+        # moment accumulation in f32 regardless of the compute dtype
+        # (bf16 mean/var over hundreds of features loses ~3 digits);
+        # the result returns in the caller's dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
         n = x.shape[-1]
-        var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
+        var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
         std = jnp.sqrt(var)
-        return gamma * (x - mean) / (std + self.eps) + beta
+        y = gamma.astype(jnp.float32) * (xf - mean) / (std + self.eps)
+        return (y + beta.astype(jnp.float32)).astype(x.dtype)
+
+
+class _F32BatchNorm(nn.BatchNorm):
+    """BatchNorm whose statistics always accumulate in f32: under the bf16
+    compute mode the (T*B)-sized batch moments would otherwise sum in bf16
+    (unusable past ~256 addends) and corrupt the RUNNING stats that
+    inference depends on.  The output returns in the caller's dtype."""
+
+    def __call__(self, x, *a, **k):
+        return super().__call__(x.astype(jnp.float32), *a, **k).astype(x.dtype)
 
 
 def make_batchnorm(use_running_average: bool, name: str = None) -> nn.BatchNorm:
     """Torch BatchNorm1d(momentum=0.05) equivalent."""
-    return nn.BatchNorm(
+    return _F32BatchNorm(
         use_running_average=use_running_average,
         momentum=0.95,
         epsilon=1e-5,

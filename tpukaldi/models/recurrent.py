@@ -42,10 +42,13 @@ from .common import (
 
 
 def _ref_laynorm(x, gamma, beta, eps=1e-6):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
+    # moments in f32 (bf16 compute mode), result in the caller's dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
     n = x.shape[-1]
-    var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
-    return gamma * (x - mean) / (jnp.sqrt(var) + eps) + beta
+    var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
+    y = gamma.astype(jnp.float32) * (xf - mean) / (jnp.sqrt(var) + eps)
+    return (y + beta.astype(jnp.float32)).astype(x.dtype)
 
 
 def _reverse_time(x, lengths):
@@ -182,12 +185,20 @@ class _RecurrentBase(nn.Module):
             )
 
             extras = self.extra_params(i, hidden, orthinit)
-            drop_mask = recurrent_drop_mask(self, train, (Bp, hidden), drop[i])
+            # mask in the layer's compute dtype so the scan body does not
+            # promote back to f32 under the bf16 compute mode (the pallas
+            # kernels cast their own inputs)
+            drop_mask = recurrent_drop_mask(
+                self, train, (Bp, hidden), drop[i]
+            ).astype(ff.dtype)
 
             h = self.maybe_fused(
                 i, ff, u, extras, acts[i], use_ln[i], drop_mask, train
             )
             if h is not None:
+                # the pallas kernels compute/return f32; stay in the layer's
+                # compute dtype downstream (bf16 mode)
+                h = h.astype(ff.dtype)
                 if bidir:
                     h_f = h[:, : Bp // 2]
                     h_b = _reverse_time(h[:, Bp // 2 :], lengths)
@@ -217,7 +228,12 @@ class _RecurrentBase(nn.Module):
                 state = self.replace_output(state, out)
                 return state, out
 
-            state0 = self.init_state(Bp, hidden)
+            # carry the recurrence in the layer's compute dtype (a f32
+            # state would promote every scan-step op back to f32 under
+            # the bf16 compute mode)
+            state0 = jax.tree_util.tree_map(
+                lambda s: s.astype(ff.dtype), self.init_state(Bp, hidden)
+            )
 
             def run_scan(state0, ff):
                 return jax.lax.scan(scan_step, state0, ff)

@@ -147,10 +147,30 @@ class ChunkRuntime:
             }
             self._make_steps()
 
+    def _compute_dtype(self):
+        """Mixed-precision knob: env TPUKALDI_COMPUTE_DTYPE overrides the
+        optional `[exp] compute_dtype` cfg field (float32 | bfloat16).
+        Master params/optimizer/batch stats stay f32 either way — see
+        train/step.py module docstring."""
+        name = os.environ.get(
+            "TPUKALDI_COMPUTE_DTYPE",
+            self.exp.raw["exp"].get("compute_dtype", "float32")
+            if "exp" in self.exp.raw else "float32",
+        ).strip().lower()
+        if name in ("", "float32", "f32"):
+            return None
+        if name in ("bfloat16", "bf16"):
+            return jax.numpy.bfloat16
+        raise ValueError(
+            f"compute_dtype must be float32 or bfloat16, got {name!r}"
+        )
+
     def _make_steps(self) -> None:
         frozen = {n: self.exp.archs[n].freeze for n in self.graph.arch_names}
+        cdt = self._compute_dtype()
         self._train_step = make_train_step(
-            self.graph, self.optimizers, frozen, mesh=self.mesh
+            self.graph, self.optimizers, frozen, mesh=self.mesh,
+            compute_dtype=cdt,
         )
         # K sequential steps fused into one dispatch (amortizes launch
         # latency); default on TPU only — extra compiles aren't worth it
@@ -161,13 +181,16 @@ class ChunkRuntime:
         )
         if self._multistep_k > 1:
             self._train_multistep = make_train_multistep(
-                self.graph, self.optimizers, frozen, mesh=self.mesh
+                self.graph, self.optimizers, frozen, mesh=self.mesh,
+                compute_dtype=cdt,
             )
             self._eval_multistep = make_eval_multistep(
-                self.graph, mesh=self.mesh
+                self.graph, mesh=self.mesh, compute_dtype=cdt
             )
-        self._eval_step = make_eval_step(self.graph, mesh=self.mesh)
-        self._forward_step = make_forward_step(self.graph)
+        self._eval_step = make_eval_step(
+            self.graph, mesh=self.mesh, compute_dtype=cdt
+        )
+        self._forward_step = make_forward_step(self.graph, compute_dtype=cdt)
 
     def apply_epoch_schedules(self, epoch: int) -> None:
         """Per-epoch scheduled dropout (the reference bakes drop_rates into

@@ -9,6 +9,16 @@ compiled step is branch-free), batchnorm state threaded functionally.
 Data-parallel: `make_train_step(..., mesh=...)` shards the batch over the
 mesh's 'data' axis with NamedSharding constraints; gradients are averaged
 by XLA's compiler-inserted psum over ICI (SURVEY.md §2.4 rebuild note).
+
+Mixed precision (`compute_dtype=jnp.bfloat16`, cfg `[exp] compute_dtype` /
+env TPUKALDI_COMPUTE_DTYPE): master params, optimizer state, batchnorm
+statistics and the loss stay f32; params and features are cast to bf16 at
+step entry so every matmul streams half the bytes through HBM/VMEM (TPU
+matmuls already multiply in bf16 at DEFAULT precision — the win here is
+bandwidth, not MXU passes).  Gradients accumulate in f32 automatically
+through the cast's VJP.  Numerically sensitive reductions (softmax, layer/
+batch-norm moments, cost means, sinc synthesis) are pinned to f32 inside
+the models, so the mode is a pure-throughput knob.
 """
 
 from __future__ import annotations
@@ -17,10 +27,23 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..graph.compiler import GraphSpec, apply_graph
+
+
+def _cast_compute(params, feats, compute_dtype):
+    """Cast float params/features to the compute dtype at step entry.
+    f32 (or None) is the identity; int leaves (none today) pass through."""
+    if compute_dtype is None or compute_dtype == jnp.float32:
+        return params, feats
+    cast = lambda x: (
+        x.astype(compute_dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x
+    )
+    return jax.tree_util.tree_map(cast, params), cast(feats)
 
 
 def _constrain_batch(feats, labs, mesh):
@@ -44,7 +67,11 @@ def _constrain_batch(feats, labs, mesh):
     return feats, labs
 
 
-def _loss_fn(params, graph, batch_stats, feats, labs, rngs, n_valid_t):
+def _loss_fn(params, graph, batch_stats, feats, labs, rngs, n_valid_t,
+             compute_dtype=None):
+    # cast INSIDE the differentiated function: the cast's VJP accumulates
+    # the incoming bf16 cotangents into f32 master-param gradients
+    params, feats = _cast_compute(params, feats, compute_dtype)
     outs, new_stats = apply_graph(
         graph, params, batch_stats, feats, labs, train=True, rngs=rngs,
         to_do="train", n_valid_t=n_valid_t,
@@ -52,7 +79,7 @@ def _loss_fn(params, graph, batch_stats, feats, labs, rngs, n_valid_t):
     return outs["loss_final"], (outs["err_final"], new_stats)
 
 
-def _make_step_body(graph, optimizers, frozen, mesh):
+def _make_step_body(graph, optimizers, frozen, mesh, compute_dtype=None):
     frozen = frozen or {}
 
     def step(params, batch_stats, opt_states, feats, labs, rng,
@@ -61,7 +88,8 @@ def _make_step_body(graph, optimizers, frozen, mesh):
         rngs = {"dropout": rng}
         (loss, (err, new_stats)), grads = jax.value_and_grad(
             _loss_fn, has_aux=True
-        )(params, graph, batch_stats, feats, labs, rngs, n_valid_t)
+        )(params, graph, batch_stats, feats, labs, rngs, n_valid_t,
+          compute_dtype)
         new_params = dict(params)
         new_opt_states = dict(opt_states)
         for name in params:
@@ -84,6 +112,7 @@ def make_train_step(
     frozen: Optional[Dict[str, bool]] = None,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    compute_dtype=None,
 ):
     """Returns jitted `step(params, batch_stats, opt_states, feats, labs,
     rng) -> (params, batch_stats, opt_states, loss, err)`.
@@ -91,7 +120,7 @@ def make_train_step(
     Sequential batches are (T, B, D): the batch axis B is sharded over the
     mesh 'data' axis; frame batches (N, D) shard N.
     """
-    step = _make_step_body(graph, optimizers, frozen, mesh)
+    step = _make_step_body(graph, optimizers, frozen, mesh, compute_dtype)
     donate_args = (0, 2) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
 
@@ -102,6 +131,7 @@ def make_train_multistep(
     frozen: Optional[Dict[str, bool]] = None,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    compute_dtype=None,
 ):
     """K sequential optimizer steps fused into ONE jitted dispatch via
     lax.scan over stacked same-shape batches — identical math to K calls of
@@ -110,7 +140,7 @@ def make_train_multistep(
 
     Signature: multi(params, stats, opts, feats (K,...), labs (K,...),
     rngs (K,)) -> (params, stats, opts, losses (K,), errs (K,))."""
-    body = _make_step_body(graph, optimizers, frozen, mesh)
+    body = _make_step_body(graph, optimizers, frozen, mesh, compute_dtype)
 
     def multi(params, batch_stats, opt_states, feats_k, labs_k, rngs_k,
               n_valid_k=None):
@@ -135,9 +165,11 @@ def make_train_multistep(
     return jax.jit(multi, donate_argnums=donate_args)
 
 
-def make_eval_step(graph: GraphSpec, mesh: Optional[Mesh] = None):
+def make_eval_step(graph: GraphSpec, mesh: Optional[Mesh] = None,
+                   compute_dtype=None):
     def step(params, batch_stats, feats, labs, n_valid_t=None):
         feats, labs = _constrain_batch(feats, labs, mesh)
+        params, feats = _cast_compute(params, feats, compute_dtype)
         outs, _ = apply_graph(
             graph, params, batch_stats, feats, labs, train=False,
             to_do="valid", n_valid_t=n_valid_t,
@@ -147,7 +179,8 @@ def make_eval_step(graph: GraphSpec, mesh: Optional[Mesh] = None):
     return jax.jit(step)
 
 
-def make_eval_multistep(graph: GraphSpec, mesh: Optional[Mesh] = None):
+def make_eval_multistep(graph: GraphSpec, mesh: Optional[Mesh] = None,
+                        compute_dtype=None):
     """K eval batches fused into ONE jitted dispatch via lax.scan over
     stacked same-shape batches — identical math to K calls of
     make_eval_step (per-batch means, no state), one launch.  Validation has
@@ -160,6 +193,7 @@ def make_eval_multistep(graph: GraphSpec, mesh: Optional[Mesh] = None):
 
     def one(params, batch_stats, feats, labs, n_valid_t):
         feats, labs = _constrain_batch(feats, labs, mesh)
+        params, feats = _cast_compute(params, feats, compute_dtype)
         outs, _ = apply_graph(
             graph, params, batch_stats, feats, labs, train=False,
             to_do="valid", n_valid_t=n_valid_t,
@@ -185,7 +219,8 @@ def make_eval_multistep(graph: GraphSpec, mesh: Optional[Mesh] = None):
     return jax.jit(multi)
 
 
-def make_forward_step(graph: GraphSpec, out_names: Optional[list] = None):
+def make_forward_step(graph: GraphSpec, out_names: Optional[list] = None,
+                      compute_dtype=None):
     """Posterior computation for one utterance batch: returns the requested
     forward outputs flattened to (T*B, C).  `lengths` makes bucket-padded
     utterances exact for bidirectional models (padding stays at the end and
@@ -193,13 +228,16 @@ def make_forward_step(graph: GraphSpec, out_names: Optional[list] = None):
     out_names = out_names or graph.forward_outs
 
     def step(params, batch_stats, feats, lengths):
+        params, feats = _cast_compute(params, feats, compute_dtype)
         outs, _ = apply_graph(
             graph, params, batch_stats, feats, None, train=False,
             to_do="forward", lengths=lengths,
         )
         result = {}
         for name in out_names:
-            o = outs[name]
+            # posterior arks are always f32 (non-softmax forward outs,
+            # e.g. enhancement targets, would otherwise emit bf16)
+            o = outs[name].astype(jnp.float32)
             result[name] = o.reshape(o.shape[0] * o.shape[1], -1) if o.ndim == 3 else o
         return result
 
