@@ -134,6 +134,30 @@ def test_bf16_e2e_driver_converges(tmp_path, monkeypatch):
     assert errs[-1] < 0.15, f"bf16 e2e did not converge: {errs}"
 
 
+@pytest.mark.parametrize("arch", ["GRU", "LSTM", "RNN", "minimalGRU",
+                                  "SRU", "QLSTM", "fusionRNN"])
+def test_bf16_zoo_trains_e2e(arch, tmp_path_factory, monkeypatch):
+    """Every recurrent family trains through the driver in bf16 compute
+    mode.  Families with their own f32 scan state (SRU/QLSTM/fusionRNN)
+    silently promote back to f32 — correctness holds either way; this
+    pins no-NaN + learning across the zoo."""
+    import re
+
+    monkeypatch.setenv("TPUKALDI_COMPUTE_DTYPE", "bfloat16")
+    root = tmp_path_factory.mktemp(f"b16_{arch}")
+    corpus = generate_corpus(str(root / "c"), n_utts=10, feat_dim=12,
+                             seed=31, min_len=40, max_len=120, noise=0.3)
+    out = str(root / "exp")
+    cfg = write_cfg(corpus, out, arch=arch, hidden=16, n_epochs=1,
+                    n_chunks=1, batch_size=4, cw=0, lr=0.05)
+    from tpukaldi.tools.run_exp import run_experiment
+
+    run_experiment(cfg)
+    res = open(os.path.join(out, "res.res")).read().strip()
+    verr = float(re.search(r"valid=\S+ loss=\S+ err=(\d+\.\d+)", res).group(1))
+    assert 0.0 < verr < 0.85, f"{arch} bf16 bogus valid err: {res}"
+
+
 def test_bad_compute_dtype_rejected(setup):
     from tpukaldi.train.chunk_runtime import ChunkRuntime
 

@@ -133,6 +133,8 @@ class fusionRNN(nn.Module):
                 ).astype(jnp.float32) / (1.0 - drop[i])
             else:
                 mask = jnp.asarray(1.0, dtype=jnp.float32)
+            # compute dtype keeps the scan carry uniform under bf16 mode
+            mask = mask.astype(x.dtype)
 
             def step(h, g_t, u=u, mask=mask, hidden=hidden):
                 wz_t, wh_t = g_t

@@ -196,7 +196,11 @@ class QLSTM(nn.Module):
                 x = jnp.concatenate([x, _reverse_time(x, lengths)], axis=1)
             Bp = x.shape[1]
             act = act_fun(acts[i])
-            drop_mask = recurrent_drop_mask(self, train, (Bp, hidden), drop[i])
+            # mask in the compute dtype so the scan carry stays uniform
+            # under the bf16 compute mode
+            drop_mask = recurrent_drop_mask(
+                self, train, (Bp, hidden), drop[i]
+            ).astype(x.dtype)
 
             gates = {}
             for gate in "fioc":
