@@ -235,3 +235,51 @@ def test_fused_pallas_backward_matches_scan_backward():
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
             err_msg=name,
         )
+
+
+def test_lstm_fused_backward_matches_scan_backward():
+    """Same fused-vs-scan contract for the LSTM backward (kernels/lstm.py
+    _lstm_bwd_kernel), including a T not divisible by TIME_BLOCK_BWD so
+    the reverse-order zero-padding path is exercised."""
+    from tpukaldi.kernels.lstm import _bwd, _bwd_scan, _fwd, _bwd_fits_vmem
+
+    rng = np.random.default_rng(11)
+    ff = jnp.asarray(rng.standard_normal((T, B, 4 * H)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((H, 4 * H)) * 0.3, jnp.float32)
+    mask = jnp.asarray(rng.random((B, H)) > 0.2, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((T, B, H)), jnp.float32)
+    assert _bwd_fits_vmem(B, H)  # the fused path is what runs below
+    _, res = _fwd(ff, u, mask, True)
+    d_pallas = _bwd(True, res, g)
+    d_scan = _bwd_scan(True, res, g)
+    for name, a, b in zip(("dff", "du", "dmask"), d_pallas, d_scan):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
+    # large H falls back to the scan backward instead of overflowing VMEM
+    assert not _bwd_fits_vmem(16, 1024)
+
+
+@pytest.mark.parametrize("act", ["relu", "tanh"])
+def test_gru_fused_backward_matches_scan_backward(act):
+    """Fused-vs-scan contract for the GRU backward (kernels/gru.py
+    _gru_bwd_kernel), T not divisible by TIME_BLOCK_BWD."""
+    from tpukaldi.kernels.gru import _bwd, _bwd_scan, _fwd, _bwd_fits_vmem
+
+    rng = np.random.default_rng(13)
+    ff = jnp.asarray(rng.standard_normal((T, B, 3 * H)), jnp.float32)
+    uzr = jnp.asarray(rng.standard_normal((H, 2 * H)) * 0.3, jnp.float32)
+    uh = jnp.asarray(rng.standard_normal((H, H)) * 0.3, jnp.float32)
+    mask = jnp.asarray(rng.random((B, H)) > 0.2, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((T, B, H)), jnp.float32)
+    assert _bwd_fits_vmem(B, H)
+    _, res = _fwd(ff, uzr, uh, mask, act, True)
+    d_pallas = _bwd(act, True, res, g)
+    d_scan = _bwd_scan(act, True, res, g)
+    for name, a, b in zip(("dff", "duzr", "duh", "dmask"), d_pallas, d_scan):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
+    assert not _bwd_fits_vmem(16, 1200)

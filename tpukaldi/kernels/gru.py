@@ -13,12 +13,15 @@ Kernel design matches kernels/ligru.py (weights/mask in VMEM, h in VMEM
 scratch across sequential grid steps, ff streamed).  `act` is a static
 choice (relu | tanh), matching the zoo's act factory.
 
-Backward (custom VJP): gates rematerialized with two hoisted big matmuls
-(h_prev @ Uzr and (r*h_prev) @ Uh); the reverse scan carries dh with two
-small matmuls per step; dUzr/dUh/dmask are post-scan contractions.
-(A fused pallas backward like kernels/ligru.py's is VMEM-borderline here
-— 6H^2 resident floats for Uzr/Uh + their grads — so the hoisted scan
-stays; the flagship liGRU path is where the fused kernel pays.)
+Backward (custom VJP): a FUSED reverse-streamed pallas kernel (the
+kernels/ligru.py design): gates rematerialized block-wide with two MXU
+matmuls (h_prev @ Uzr and (r*h_prev) @ Uh), the sequential dh chain in
+VMEM scratch with two small per-step matmuls, dUzr/dUh/dmask accumulated
+into fixed-index output blocks.  Resident Uzr/Uh + grads cost 6H^2 floats
+(~7.3 MB at H=550), so the backward streams TIME_BLOCK_BWD=8 blocks;
+`_bwd_fits_vmem` falls back to the hoisted-scan backward (`_bwd_scan`,
+also the parity reference) for larger H.  Measured at the recipe shape:
+scan backward +1.54 ms/layer vs the liGRU-style fused ~+0.4 ms.
 """
 
 from __future__ import annotations
@@ -108,7 +111,156 @@ def _fwd(ff, uzr, uh, mask, act_name, interpret):
     return h, (ff, uzr, uh, mask, h)
 
 
+TIME_BLOCK_BWD = 8
+
+
+def _gru_bwd_kernel(act_name, ff_ref, hp_ref, g_ref, uzr_ref, uh_ref,
+                    mask_ref, dff_ref, duzr_ref, duh_ref, dmask_ref, dh_ref):
+    """One REVERSE time block: block-wide gate rematerialization (two MXU
+    matmuls), the sequential dh chain, then the dUzr/dUh contractions."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        duzr_ref[:] = jnp.zeros_like(duzr_ref)
+        duh_ref[:] = jnp.zeros_like(duh_ref)
+        dmask_ref[:] = jnp.zeros_like(dmask_ref)
+
+    H = dh_ref.shape[-1]
+    tb, B = ff_ref.shape[0], ff_ref.shape[1]
+    mask = mask_ref[:]
+    uzr = uzr_ref[:]
+    uh = uh_ref[:]
+
+    # phase 1: block-wide gate rematerialization
+    hp_flat = hp_ref[:].reshape(tb * B, H)
+    rzr = jnp.dot(hp_flat, uzr, preferred_element_type=jnp.float32)
+    rzr = rzr.reshape(tb, B, 2 * H)
+    z_all = jax.nn.sigmoid(ff_ref[:][..., H : 2 * H] + rzr[..., :H])
+    r_all = jax.nn.sigmoid(ff_ref[:][..., 2 * H :] + rzr[..., H:])
+    rh_all = r_all * hp_ref[:]
+    a_all = ff_ref[:][..., :H] + jnp.dot(
+        rh_all.reshape(tb * B, H), uh, preferred_element_type=jnp.float32
+    ).reshape(tb, B, H)
+    hc_all = _act(act_name, a_all) * mask
+
+    # phase 2: sequential dh chain, walked backwards in time
+    dmask_blk = jnp.zeros((B, H), jnp.float32)
+    for k in range(tb - 1, -1, -1):
+        hp, z, r = hp_ref[k], z_all[k], r_all[k]
+        gh = g_ref[k] + dh_ref[:]
+        dz = gh * (hp - hc_all[k])
+        da_z = dz * z * (1.0 - z)
+        dhc = gh * (1.0 - z)
+        da = dhc * mask * _dact(act_name, a_all[k])
+        # drh: (B, H) x (H, H)^T via contraction on the second H axis
+        drh = jax.lax.dot_general(
+            da, uh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dr = drh * hp
+        da_r = dr * r * (1.0 - r)
+        dzr = jnp.concatenate([da_z, da_r], axis=1)  # (B, 2H)
+        dff_ref[k] = jnp.concatenate([da, dzr], axis=1)  # ff order h|z|r
+        dh_ref[:] = gh * z + drh * r + jax.lax.dot_general(
+            dzr, uzr, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dmask_blk = dmask_blk + dhc * _act(act_name, a_all[k])
+    dmask_ref[:] += dmask_blk
+
+    # phase 3: weight-grad contractions (one MXU call each per block)
+    dff_blk = dff_ref[:]
+    duzr_ref[:] += jax.lax.dot_general(
+        hp_flat, dff_blk[..., H:].reshape(tb * B, 2 * H),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    duh_ref[:] += jax.lax.dot_general(
+        rh_all.reshape(tb * B, H), dff_blk[..., :H].reshape(tb * B, H),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bwd_fits_vmem(B, H, tb=TIME_BLOCK_BWD, budget=14 * 2**20):
+    """Resident Uzr/Uh + grads (6H^2 floats) + double-buffered streamed
+    blocks (ff/hp/g in, dff out) + phase-1 temporaries."""
+    resident = 6 * H * H * 4
+    streams = 2 * tb * B * (3 * H + 2 * H + 3 * H) * 4
+    temps = tb * B * (2 * H + 5 * H) * 4
+    return resident + streams + temps < budget
+
+
+def _gru_pallas_bwd_impl(ff, hp, g, uzr, uh, mask, act_name, *,
+                         interpret=False):
+    """Reverse-streamed fused backward: returns (dff, duzr, duh, dmask)."""
+    T, B, H3 = ff.shape
+    H = H3 // 3
+    tb = TIME_BLOCK_BWD
+    T_pad = ((T + tb - 1) // tb) * tb
+    if T_pad != T:
+        # zero-padded TRAILING steps run first (reverse order) with dh=0
+        # and g=0, producing all-zero derivatives
+        pad = ((0, T_pad - T), (0, 0), (0, 0))
+        ff, hp, g = jnp.pad(ff, pad), jnp.pad(hp, pad), jnp.pad(g, pad)
+    n = T_pad // tb
+    rev = lambda i: (n - 1 - i, 0, 0)
+    fixed = lambda i: (0, 0)
+    dff, duzr, duh, dmask = pl.pallas_call(
+        functools.partial(_gru_bwd_kernel, act_name),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((tb, B, 3 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 2 * H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, B, 3 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 2 * H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, B, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 2 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * T_pad * B * H * 3 * H + 24 * T_pad * B * H,
+            bytes_accessed=4 * (T_pad * B * 8 * H + 6 * H * H + 2 * B * H),
+            transcendentals=3 * T_pad * B * H,
+        ),
+    )(
+        ff.astype(jnp.float32), hp.astype(jnp.float32),
+        g.astype(jnp.float32), uzr.astype(jnp.float32),
+        uh.astype(jnp.float32), mask.astype(jnp.float32),
+    )
+    return dff[:T], duzr, duh, dmask
+
+
 def _bwd(act_name, interpret, res, g):
+    """Fused pallas reverse-time backward; `_bwd_scan` is the hoisted-scan
+    fallback (large H) and the gradient-parity reference."""
+    ff, uzr, uh, mask, h_seq = res
+    T, B, H3 = ff.shape
+    H = H3 // 3
+    if not _bwd_fits_vmem(B, H):
+        return _bwd_scan(act_name, interpret, res, g)
+    h_prev = jnp.concatenate(
+        [jnp.zeros((1, B, H), ff.dtype), h_seq[:-1]], axis=0
+    )
+    return _gru_pallas_bwd_impl(ff, h_prev, g, uzr, uh, mask, act_name,
+                                interpret=interpret)
+
+
+def _bwd_scan(act_name, interpret, res, g):
     ff, uzr, uh, mask, h_seq = res
     T, B, H3 = ff.shape
     H = H3 // 3

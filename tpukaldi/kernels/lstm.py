@@ -12,15 +12,18 @@ Cell semantics are the reference's custom LSTM (neural_networks.py:457-469):
     c  = i * tanh(ff_c + r_c) * mask + f * c
     h  = o * tanh(c)
 
-Backward (custom VJP): gates rematerialized from the saved h sequence with
-one hoisted (T*B, H) x (H, 4H) matmul; the reverse scan carries only
-(dh, dc); dU/dmask are single post-scan contractions.
-
-A liGRU-style fused pallas backward (kernels/ligru.py::_ligru_bwd_kernel)
-is deliberately NOT used here: with 4 gates the resident U + dU blocks
-alone cost 8H^2 floats (~9.7 MB at H=550) and the streamed ff/dff blocks
-push past the ~16 MB VMEM budget; the hoisted scan keeps every matmul
-MXU-shaped without that ceiling.
+Backward (custom VJP): a FUSED reverse-streamed pallas kernel in the
+kernels/ligru.py::_ligru_bwd_kernel mold — gates rematerialized block-wide
+from the saved (h, c) sequences with one (tb*B, H) x (H, 4H) MXU matmul,
+the truly sequential (dh, dc) chain carried in VMEM scratch, dU/dmask
+accumulated into fixed-index output blocks.  With 4 gates the resident
+U + dU alone cost 8H^2 floats (~9.7 MB at H=550), so the backward streams
+smaller time blocks (TIME_BLOCK_BWD=4) than the forward to stay inside
+the ~16 MB VMEM budget; `_bwd_fits_vmem` falls back to the hoisted-scan
+backward (`_bwd_scan`, also the parity reference) for larger H.
+Measured at the recipe shape (T=500, B=16, H=550): scan backward
++1.71 ms/layer vs fused +~0.4 ms — training is backward-dominated, so
+this is where LSTM recipes' frames/sec lives.
 """
 
 from __future__ import annotations
@@ -117,7 +120,153 @@ def _fwd(ff, u, mask, interpret):
     return h, (ff, u, mask, h, c)
 
 
+TIME_BLOCK_BWD = 4
+
+
+def _lstm_bwd_kernel(ff_ref, hp_ref, cp_ref, c_ref, g_ref, u_ref, mask_ref,
+                     dff_ref, du_ref, dmask_ref, dh_ref, dc_ref):
+    """One REVERSE time block (same 3-phase structure as the liGRU
+    backward): block-wide gate rematerialization, the sequential (dh, dc)
+    chain, then the dU block contraction."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+        du_ref[:] = jnp.zeros_like(du_ref)
+        dmask_ref[:] = jnp.zeros_like(dmask_ref)
+
+    H = dh_ref.shape[-1]
+    tb, B = ff_ref.shape[0], ff_ref.shape[1]
+    mask = mask_ref[:]
+    u = u_ref[:]
+
+    # phase 1: block-wide gate rematerialization (one big MXU call)
+    hp_flat = hp_ref[:].reshape(tb * B, H)
+    a = ff_ref[:] + jnp.dot(
+        hp_flat, u, preferred_element_type=jnp.float32
+    ).reshape(tb, B, 4 * H)
+    f_all = jax.nn.sigmoid(a[..., :H])
+    i_all = jax.nn.sigmoid(a[..., H : 2 * H])
+    o_all = jax.nn.sigmoid(a[..., 2 * H : 3 * H])
+    cand_all = jnp.tanh(a[..., 3 * H :])
+    tanh_c_all = jnp.tanh(c_ref[:])
+
+    # phase 2: sequential (dh, dc) chain, walked backwards in time
+    dmask_blk = jnp.zeros((B, H), jnp.float32)
+    for k in range(tb - 1, -1, -1):
+        f, i, o = f_all[k], i_all[k], o_all[k]
+        cand, tanh_c = cand_all[k], tanh_c_all[k]
+        gh = g_ref[k] + dh_ref[:]
+        do = gh * tanh_c
+        da_o = do * o * (1.0 - o)
+        dc = gh * o * (1.0 - tanh_c**2) + dc_ref[:]
+        df = dc * cp_ref[k]
+        da_f = df * f * (1.0 - f)
+        di = dc * cand * mask
+        da_i = di * i * (1.0 - i)
+        dcand = dc * i * mask
+        da_c = dcand * (1.0 - cand**2)
+        da = jnp.concatenate([da_f, da_i, da_o, da_c], axis=1)  # (B, 4H)
+        dff_ref[k] = da
+        # dh chain: (B, 4H) x (H, 4H)^T via contraction on the 4H axis
+        dh_ref[:] = jax.lax.dot_general(
+            da, u, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dc_ref[:] = dc * f
+        dmask_blk = dmask_blk + dc * i * cand
+    dmask_ref[:] += dmask_blk
+
+    # phase 3: dU += hp_block^T dA_block (one MXU call per block)
+    du_ref[:] += jax.lax.dot_general(
+        hp_flat, dff_ref[:].reshape(tb * B, 4 * H),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bwd_fits_vmem(B, H, tb=TIME_BLOCK_BWD, budget=14 * 2**20):
+    """Resident U + dU (8H^2 floats) + double-buffered streamed blocks
+    (ff/hp/cp/c/g in, dff out) + the phase-1 temporaries."""
+    resident = 2 * H * 4 * H * 4
+    streams = 2 * tb * B * (4 * H + 3 * H + H + 4 * H) * 4
+    temps = tb * B * (4 * H + 5 * H) * 4
+    return resident + streams + temps < budget
+
+
+def _lstm_pallas_bwd_impl(ff, hp, cp, c, g, u, mask, *, interpret=False):
+    """Reverse-streamed fused backward: returns (dff, du, dmask)."""
+    T, B, H4 = ff.shape
+    H = H4 // 4
+    tb = TIME_BLOCK_BWD
+    T_pad = ((T + tb - 1) // tb) * tb
+    if T_pad != T:
+        # zero-padded TRAILING steps run first (reverse order) with
+        # dh=dc=0 and g=0, producing all-zero derivatives
+        pad = ((0, T_pad - T), (0, 0), (0, 0))
+        ff, hp, cp = jnp.pad(ff, pad), jnp.pad(hp, pad), jnp.pad(cp, pad)
+        c, g = jnp.pad(c, pad), jnp.pad(g, pad)
+    n = T_pad // tb
+    rev = lambda i: (n - 1 - i, 0, 0)
+    fixed = lambda i: (0, 0)
+    dff, du, dmask = pl.pallas_call(
+        _lstm_bwd_kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((tb, B, 4 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, B, 4 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, B, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * T_pad * B * H * 4 * H + 30 * T_pad * B * H,
+            bytes_accessed=4 * (T_pad * B * 12 * H + 2 * H * 4 * H + 2 * B * H),
+            transcendentals=5 * T_pad * B * H,
+        ),
+    )(
+        ff.astype(jnp.float32), hp.astype(jnp.float32),
+        cp.astype(jnp.float32), c.astype(jnp.float32),
+        g.astype(jnp.float32), u.astype(jnp.float32),
+        mask.astype(jnp.float32),
+    )
+    return dff[:T], du, dmask
+
+
 def _bwd(interpret, res, g):
+    """Fused pallas reverse-time backward; `_bwd_scan` is the hoisted-scan
+    fallback (large H) and the gradient-parity reference."""
+    ff, u, mask, h_seq, c_seq = res
+    T, B, H4 = ff.shape
+    H = H4 // 4
+    if not _bwd_fits_vmem(B, H):
+        return _bwd_scan(interpret, res, g)
+    zeros = jnp.zeros((1, B, H), ff.dtype)
+    h_prev = jnp.concatenate([zeros, h_seq[:-1]], axis=0)
+    c_prev = jnp.concatenate([zeros, c_seq[:-1]], axis=0)
+    return _lstm_pallas_bwd_impl(ff, h_prev, c_prev, c_seq, g, u, mask,
+                                 interpret=interpret)
+
+
+def _bwd_scan(interpret, res, g):
     ff, u, mask, h_seq, c_seq = res
     T, B, H4 = ff.shape
     H = H4 // 4
