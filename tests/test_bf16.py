@@ -158,6 +158,28 @@ def test_bf16_zoo_trains_e2e(arch, tmp_path_factory, monkeypatch):
     assert 0.0 < verr < 0.85, f"{arch} bf16 bogus valid err: {res}"
 
 
+def test_sinc_cutoff_params_exempt_from_bf16_cast():
+    """SincNet's low_hz/band_hz live in Hz (up to nyquist): casting them to
+    bf16 before the f32 filter synthesis would snap band edges to a
+    ~0.4%-relative grid and quantize away small optimizer updates.  They
+    must stay f32 through _cast_compute; everything else casts."""
+    from tpukaldi.train.step import _cast_compute
+
+    params = {
+        "SincNet_layers": {
+            "low_hz": jnp.ones((8, 1), jnp.float32),
+            "band_hz": jnp.ones((8, 1), jnp.float32),
+            "conv1": jnp.ones((4, 4), jnp.float32),
+        }
+    }
+    cast, feats = _cast_compute(params, jnp.ones((3, 4), jnp.float32),
+                                jnp.bfloat16)
+    assert cast["SincNet_layers"]["low_hz"].dtype == jnp.float32
+    assert cast["SincNet_layers"]["band_hz"].dtype == jnp.float32
+    assert cast["SincNet_layers"]["conv1"].dtype == jnp.bfloat16
+    assert feats.dtype == jnp.bfloat16
+
+
 def test_bad_compute_dtype_rejected(setup):
     from tpukaldi.train.chunk_runtime import ChunkRuntime
 

@@ -32,6 +32,7 @@ from ..config.schema import to_bool
 from .common import (
     RefLayerNorm,
     act_fun,
+    ref_laynorm,
     bool_list,
     float_list,
     int_list,
@@ -75,13 +76,7 @@ class _CNNLayerNorm(nn.Module):
     def __call__(self, x):  # x (N, filt, time)
         gamma = self.param("gamma", nn.initializers.ones, (self.n_filt, self.n_time))
         beta = self.param("beta", nn.initializers.zeros, (self.n_filt, self.n_time))
-        # moments in f32 (bf16 compute mode), result in the caller's dtype
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        n = x.shape[-1]
-        var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
-        y = gamma.astype(jnp.float32) * (xf - mean) / (jnp.sqrt(var) + self.eps)
-        return (y + beta.astype(jnp.float32)).astype(x.dtype)
+        return ref_laynorm(x, gamma, beta, self.eps)
 
 
 def _to_mel(hz):

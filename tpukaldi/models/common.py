@@ -78,6 +78,22 @@ def orthogonal_init():
     return nn.initializers.orthogonal()
 
 
+def ref_laynorm(x, gamma, beta, eps=1e-6):
+    """The reference's LayerNorm formula (neural_networks.py:23-33):
+    normalize over the LAST axis by the *unbiased std* with eps added to
+    the std, not the variance.  Moments accumulate in f32 regardless of
+    the compute dtype (bf16 mean/var over hundreds of features loses ~3
+    digits); the result returns in the caller's dtype.  gamma/beta may be
+    (features,) or any shape broadcastable against x (the CNN variant uses
+    a full (filt, time) affine map)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    n = x.shape[-1]
+    var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
+    y = gamma.astype(jnp.float32) * (xf - mean) / (jnp.sqrt(var) + eps)
+    return (y + beta.astype(jnp.float32)).astype(x.dtype)
+
+
 class RefLayerNorm(nn.Module):
     """Reference LayerNorm (neural_networks.py:23-33): normalizes by the
     unbiased std with eps *added to std*, not to variance."""
@@ -89,16 +105,7 @@ class RefLayerNorm(nn.Module):
     def __call__(self, x):
         gamma = self.param("gamma", nn.initializers.ones, (self.features,))
         beta = self.param("beta", nn.initializers.zeros, (self.features,))
-        # moment accumulation in f32 regardless of the compute dtype
-        # (bf16 mean/var over hundreds of features loses ~3 digits);
-        # the result returns in the caller's dtype
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        n = x.shape[-1]
-        var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
-        std = jnp.sqrt(var)
-        y = gamma.astype(jnp.float32) * (xf - mean) / (std + self.eps)
-        return (y + beta.astype(jnp.float32)).astype(x.dtype)
+        return ref_laynorm(x, gamma, beta, self.eps)
 
 
 class _F32BatchNorm(nn.BatchNorm):

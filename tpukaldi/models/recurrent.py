@@ -41,14 +41,7 @@ from .common import (
 )
 
 
-def _ref_laynorm(x, gamma, beta, eps=1e-6):
-    # moments in f32 (bf16 compute mode), result in the caller's dtype
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    n = x.shape[-1]
-    var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
-    y = gamma.astype(jnp.float32) * (xf - mean) / (jnp.sqrt(var) + eps)
-    return (y + beta.astype(jnp.float32)).astype(x.dtype)
+from .common import ref_laynorm as _ref_laynorm  # shared f32-moment formula
 
 
 def _reverse_time(x, lengths):

@@ -34,16 +34,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..graph.compiler import GraphSpec, apply_graph
 
 
+# param names kept f32 even in bf16 mode: values whose SEMANTIC range
+# (e.g. band edges in Hz) far exceeds bf16's ~3 significant digits, and
+# whose per-step updates would be quantized away before the (f32) use
+# site ever sees them.  Matched as path-name substrings.
+_CAST_EXEMPT = ("low_hz", "band_hz")
+
+
 def _cast_compute(params, feats, compute_dtype):
     """Cast float params/features to the compute dtype at step entry.
-    f32 (or None) is the identity; int leaves (none today) pass through."""
+    f32 (or None) is the identity; int leaves (none today) pass through.
+    Leaves whose path matches `_CAST_EXEMPT` stay f32 (their consumers
+    upcast anyway, so no promotion leaks into the bf16 graph)."""
     if compute_dtype is None or compute_dtype == jnp.float32:
         return params, feats
-    cast = lambda x: (
-        x.astype(compute_dtype)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    def cast(path, x):
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        for entry in path:
+            name = getattr(entry, "key", None) or getattr(entry, "name", "")
+            if any(sub in str(name) for sub in _CAST_EXEMPT):
+                return x
+        return x.astype(compute_dtype)
+
+    return (
+        jax.tree_util.tree_map_with_path(cast, params),
+        feats.astype(compute_dtype),
     )
-    return jax.tree_util.tree_map(cast, params), cast(feats)
 
 
 def _constrain_batch(feats, labs, mesh):
