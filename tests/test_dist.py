@@ -69,6 +69,43 @@ def test_sharded_step_matches_single_device(setup):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_bf16_step_runs_and_matches(setup):
+    """bf16 compute + data-parallel mesh compose: the cast sits inside the
+    sharded loss, gradients psum in f32, and the sharded bf16 step agrees
+    with the single-device bf16 step."""
+    exp, chunk = setup
+    batch = next(iter_seq_batches(chunk, 8, rng=None))
+    feats, labs = jnp.asarray(batch.feats), jnp.asarray(batch.labs)
+    graph = build_graph(exp, chunk.fea_layout, chunk.lab_layout)
+    params, stats = init_graph(graph, jax.random.key(0), feats)
+    optimizers = make_all_optimizers({n: exp.archs[n] for n in graph.arch_names})
+
+    def one_step(mesh):
+        p = jax.tree_util.tree_map(jnp.asarray, jax.device_get(params))
+        s = jax.tree_util.tree_map(jnp.asarray, jax.device_get(stats))
+        opt = {n: optimizers[n].init(p[n]) for n in graph.arch_names}
+        step = make_train_step(graph, optimizers, mesh=mesh, donate=False,
+                               compute_dtype=jnp.bfloat16)
+        f, l = feats, labs
+        if mesh is not None:
+            p = replicate(p, mesh)
+            s = replicate(s, mesh)
+            f = shard_batch(np.asarray(batch.feats), mesh, batch_axis=1)
+            l = shard_batch(np.asarray(batch.labs), mesh, batch_axis=1)
+        new_p, _, _, loss, err = step(p, s, opt, f, l, jax.random.key(7))
+        return jax.device_get(new_p), float(loss), float(err)
+
+    p_single, loss_s, err_s = one_step(None)
+    p_mesh, loss_m, err_m = one_step(data_parallel_mesh())
+    assert np.isfinite(loss_s) and np.isfinite(loss_m)
+    assert abs(loss_s - loss_m) < 1e-2  # bf16 reduction-order tolerance
+    for a, b in zip(jax.tree_util.tree_leaves(p_single),
+                    jax.tree_util.tree_leaves(p_mesh)):
+        assert a.dtype == jnp.float32  # masters stay f32 under the mesh
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-4)
+
+
 def test_experiment_determinism(tmp_path_factory):
     """Same cfg + seed in fresh out_folders -> identical res.res
     (chunk-resume determinism contract, SURVEY.md §7.4 item 6)."""
