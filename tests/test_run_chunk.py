@@ -54,6 +54,33 @@ def test_standalone_valid_and_forward_chunks(exp_dir):
     assert os.path.exists(info)
 
 
+def test_bf16_chunk_cfg_propagates_and_matches(tmp_path_factory):
+    """A bf16 experiment's chunk cfgs carry [exp] compute_dtype, so the
+    standalone re-execution computes in the same dtype and reproduces the
+    ledger bit-for-bit."""
+    root = tmp_path_factory.mktemp("rc16")
+    corpus = generate_corpus(str(root / "c"), n_utts=12, seed=9, noise=0.4)
+    out = str(root / "e")
+    cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=1,
+                    n_chunks=2, batch_size=32, lr=0.2)
+    text = open(cfg).read().replace(
+        "[exp]", "[exp]\ncompute_dtype = bfloat16", 1
+    )
+    open(cfg, "w").write(text)
+    run_experiment(cfg)
+    ef = os.path.join(out, "exp_files")
+    chunk_cfg = os.path.join(ef, "train_synth_tr_ep0_ck0.cfg")
+    assert "compute_dtype = bfloat16" in open(chunk_cfg).read()
+    info = os.path.join(ef, "train_synth_tr_ep0_ck0.info")
+    orig = _results(info)
+    os.remove(info)
+    for f in glob.glob(os.path.join(ef, "train_synth_tr_ep0_ck0_*.ckpt")):
+        os.remove(f)
+    run_chunk(chunk_cfg)
+    new = _results(info)
+    assert new["loss"] == orig["loss"] and new["err"] == orig["err"]
+
+
 def test_rejects_global_cfg(exp_dir):
     global_cfg = glob.glob(os.path.join(exp_dir, "*.cfg"))[0]
     with pytest.raises(ValueError, match="not a chunk cfg"):

@@ -48,6 +48,11 @@ def write_chunk_cfg(
         "out_info": task.info_file,
         "n_epochs_tr": str(exp.n_epochs),
     }
+    # optional mixed-precision knob: a standalone run_chunk execution must
+    # compute in the same dtype as the in-process run or its ledger entry
+    # (loss/err) would not be bit-identical
+    if src.has_option("exp", "compute_dtype"):
+        cfg["exp"]["compute_dtype"] = src.get("exp", "compute_dtype")
 
     # [data_chunk]: the dataset's fea/lab blocks with the chunk's .lst files
     ds = exp.datasets[task.dataset]
