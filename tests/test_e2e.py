@@ -192,6 +192,47 @@ def test_mid_run_crash_resume_matches_uninterrupted(corpus, tmp_path_factory,
     assert resumed[-len(control):] == control
 
 
+def test_crash_after_last_info_before_ckpt_flush_replays(corpus,
+                                                         tmp_path_factory):
+    """The end-of-training crash window: every train .info exists but the
+    LAST chunk's async checkpoint never flushed.  Resume must detect the
+    missing state and replay the tail instead of running the forward stage
+    on freshly initialized params (silent-garbage-posteriors hazard)."""
+    import glob
+    import re
+
+    def res_lines(out):
+        lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+        return [re.sub(r"time\(s\)=\d+", "", l) for l in lines]
+
+    control = str(tmp_path_factory.mktemp("cw_ctl"))
+    cfg = write_cfg(corpus, control, arch="MLP", hidden=16, n_epochs=2,
+                    n_chunks=2, batch_size=32, lr=0.2)
+    run_experiment(cfg)
+    want = res_lines(control)
+
+    crashed = str(tmp_path_factory.mktemp("cw"))
+    cfg = write_cfg(corpus, crashed, arch="MLP", hidden=16, n_epochs=2,
+                    n_chunks=2, batch_size=32, lr=0.2)
+    run_experiment(cfg)
+    ef = os.path.join(crashed, "exp_files")
+    # simulate the crash window: last train chunk's ckpt (and everything
+    # derived from it) never hit disk, but its .info did
+    for f in glob.glob(os.path.join(ef, "train_synth_tr_ep1_ck1_*.ckpt")):
+        os.remove(f)
+    for f in glob.glob(os.path.join(ef, "final_*.ckpt")):
+        os.remove(f)
+    for f in glob.glob(os.path.join(ef, "forward_*")) + glob.glob(
+        os.path.join(ef, "decoding_*")
+    ):
+        os.remove(f)
+    os.remove(os.path.join(crashed, "res.res"))
+    run_experiment(cfg)
+    got = res_lines(crashed)
+    assert got[-len(want):] == want
+    assert glob.glob(os.path.join(ef, "final_*.ckpt"))
+
+
 def test_ckpt_cadence_matches_per_chunk(corpus, tmp_path_factory, monkeypatch):
     """TPUKALDI_CKPT_EVERY=N must not change any result: identical res.res
     (modulo wall time) and identical posteriors, with rolling checkpoints

@@ -109,6 +109,38 @@ def test_state_dict_import_sincnet():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_state_dict_import_sincnet_with_input_laynorm():
+    """The shipped SincNet_raw recipe trains with sinc_use_laynorm_inp=True
+    (reference ln0, neural_networks.py:1491); the import must carry the
+    trained ln0 gamma/beta into ln_inp or every forward is silently wrong."""
+    opts = {
+        "sinc_N_filt": "8,6", "sinc_n_filt": "8,6", "sinc_len_filt": "65,5",
+        "sinc_max_pool_len": "2,2", "sinc_act": "relu,relu",
+        "sinc_drop": "0.0,0.0", "sinc_use_laynorm": "False,False",
+        "sinc_use_batchnorm": "False,False", "sinc_use_laynorm_inp": "True",
+        "sinc_use_batchnorm_inp": "False", "sinc_sample_rate": "16000",
+        "sinc_min_low_hz": "50", "sinc_min_band_hz": "50",
+        "sinc_fast": "False", "use_cuda": "False", "to_do": "forward",
+    }
+    from tpukaldi.models import SincNet
+
+    torch.manual_seed(3)
+    ref = ref_nn.SincNet(opts, 200).eval()
+    sd = ref.state_dict()
+    # make the input-norm affine params distinguishable from fresh init
+    sd["ln0.gamma"] = sd["ln0.gamma"] * 1.7 + 0.3
+    sd["ln0.beta"] = sd["ln0.beta"] + 0.5
+    ref.load_state_dict(sd)
+    params, stats = import_model_par(sd, "SincNet")
+    assert "ln_inp" in params, sorted(params)
+    x = np.random.default_rng(6).standard_normal((5, 200)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(SincNet(options=opts, inp_dim=200).apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_params_only_ckpt_loads_against_template(tmp_path):
     """A converted ckpt has no optimizer state; restoring against a live
     template must keep the template's opt state untouched."""

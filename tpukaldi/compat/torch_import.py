@@ -114,6 +114,18 @@ def import_model_par(
         # (set sinc_fast=False in the cfg for checkpoints from the
         # reference's SincNet, which uses the original SincConv:
         # neural_networks.py:1596-1604)
+        # input normalization over the raw window (reference ln0/bn0,
+        # neural_networks.py:1491-1497 — the shipped SincNet_raw recipe
+        # trains with use_laynorm_inp=True, so dropping these would make
+        # every imported forward silently wrong)
+        if "ln0.gamma" in sd:
+            params["ln_inp"] = {
+                "gamma": _np(sd["ln0.gamma"]), "beta": _np(sd["ln0.beta"])
+            }
+        bn0 = _bn(sd, "bn0")
+        if bn0:
+            params["bn_inp"] = {"scale": bn0["scale"], "bias": bn0["bias"]}
+            stats["bn_inp"] = {"mean": bn0["mean"], "var": bn0["var"]}
         i = 0
         while True:
             if f"conv.{i}.low_hz_" in sd:

@@ -31,8 +31,15 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, sharding)
 
 
-def shard_batch(array, mesh: Mesh, batch_axis: int = 0):
-    """Place a host array with its batch axis sharded over 'data'."""
+def shard_batch(array, mesh: Mesh, batch_axis: Optional[int] = None):
+    """Place a host array with its batch axis sharded over 'data'.
+
+    Default follows the repo's batch convention (train/step.py
+    `_constrain_batch`): sequential batches are time-major (T, B, D) with
+    batch on axis 1; frame batches (N, D) shard axis 0.  Pass batch_axis
+    explicitly for other layouts."""
+    if batch_axis is None:
+        batch_axis = 1 if array.ndim == 3 else 0
     spec = [None] * array.ndim
     spec[batch_axis] = "data"
     return jax.device_put(array, NamedSharding(mesh, P(*spec)))

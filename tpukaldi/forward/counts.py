@@ -60,9 +60,17 @@ def resolve_count_files(exp: ExperimentConfig, exp_files: str) -> None:
                 f"normalize_with_counts_from={src!r} is neither a count file "
                 f"nor a known label name"
             )
-        if lab.count_file not in ("auto", "none", "") and os.path.isfile(
-            lab.count_file
-        ):
+        if lab.count_file not in ("auto", "none", ""):
+            # an explicitly configured count file that is missing must be
+            # an error, not a silent fall-through to auto-generation:
+            # label-derived counts differ from e.g. a smoothed Kaldi
+            # analyze-counts file, which would silently shift the decode
+            # priors the user asked for
+            if not os.path.isfile(lab.count_file):
+                raise FileNotFoundError(
+                    f"lab_count_file={lab.count_file!r} (for label "
+                    f"{src!r}) does not exist"
+                )
             exp.forward.counts_from[i] = lab.count_file
             continue
         out_name = exp.forward.outs[min(i, len(exp.forward.outs) - 1)]

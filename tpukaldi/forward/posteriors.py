@@ -24,22 +24,37 @@ class PosteriorWriter:
     """One ark file per forward output, named off the chunk's info file
     (reference core.py:540-548)."""
 
-    def __init__(self, forward: ForwardSpec, info_file: str,
-                 counts_dir: Optional[str] = None):
+    def __init__(self, forward: ForwardSpec, info_file: str):
         self.forward = forward
         self.files: Dict[str, object] = {}
         self.log_priors: Dict[str, Optional[np.ndarray]] = {}
         self.paths: Dict[str, str] = {}
+        # resolve every prior BEFORE opening any ark: a malformed count
+        # file must not leave behind truncated arks that a resumed driver
+        # would treat as valid decode inputs
+        for i, out in enumerate(forward.outs):
+            if forward.normalize_posteriors[i]:
+                counts = load_counts(forward.counts_from[i])
+                if (counts <= 0).any():
+                    import logging
+
+                    logging.warning(
+                        "count file %s has %d zero/negative entries; the "
+                        "resulting -inf log-priors would dominate every "
+                        "frame after subtraction — flooring to 1 (the same "
+                        "floor forward/counts.py applies when generating "
+                        "counts)", forward.counts_from[i],
+                        int((counts <= 0).sum()),
+                    )
+                    counts = np.maximum(counts, 1.0)
+                self.log_priors[out] = np.log(counts / counts.sum())
+            else:
+                self.log_priors[out] = None
         for i, out in enumerate(forward.outs):
             suffix = "_to_decode.ark" if forward.require_decoding[i] else ".ark"
             path = info_file.replace(".info", f"_{out}{suffix}")
             self.paths[out] = path
             self.files[out] = open(path, "wb")
-            if forward.normalize_posteriors[i]:
-                counts = load_counts(forward.counts_from[i])
-                self.log_priors[out] = np.log(counts / counts.sum())
-            else:
-                self.log_priors[out] = None
 
     def write(self, out_name: str, key: str, log_post: np.ndarray) -> None:
         prior = self.log_priors[out_name]

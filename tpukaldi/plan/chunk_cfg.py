@@ -7,6 +7,14 @@ for inspection and external tooling — but they are faithful: to_do/out_info,
 chunk-specific fea lists, scheduled lr/batch-size/seq-length/dropout and
 rolling pretrain pointers are all resolved, and the result re-validates
 against the chunk proto.
+
+Standalone bit-identical re-execution (tools/run_chunk.py) holds at the
+default `ckpt_every=1` (the reference's per-chunk checkpoint cadence).
+With `ckpt_every>1`, tasks between checkpoint boundaries record the last
+SAVED checkpoint as their pretrain pointer while the in-process run carries
+un-checkpointed state — re-executing such a cfg standalone reproduces the
+boundary state, not the mid-cadence ledger entry (crash resume handles
+this by replaying the whole tail, plan/planner.py:repair_resume_point).
 """
 
 from __future__ import annotations

@@ -8,8 +8,14 @@ feature lists, `.info` result files (existence = chunk done, the resume
 mechanism of run_exp.py:253), and rolling checkpoint paths.
 
 Determinism contract: chunk shuffles use `seed` exactly like the reference
-(random.seed(seed) once, then one shuffle per epoch — utils.py:1186,1214),
-and each chunk's runtime seed is `seed + ep + ck` (utils.py:1357).
+(random.seed(seed) once; one train shuffle per epoch — utils.py:1186,1214 —
+plus, also like the reference, a valid-list shuffle from the SAME stream at
+every validation point, utils.py:1168 `_get_validation_data_for_chunks`, so
+changing the validation cadence legitimately changes later shuffles), and
+each chunk's runtime seed is `seed + ep + ck` (utils.py:1357).  Loop
+nesting here is epoch-outer (the reference iterates dataset-outer,
+utils.py:1192-1213): identical streams for the common single-train-set
+cfgs, same-seed deterministic either way.
 """
 
 from __future__ import annotations
@@ -114,7 +120,21 @@ def repair_resume_point(plan: "ExperimentPlan") -> List[str]:
     tasks = [t for ep in plan.epochs for t in ep.tasks]
     first_pending = next((i for i, t in enumerate(tasks) if not t.done), None)
     if first_pending is None:
-        return []
+        # every .info exists — but a crash between the LAST train chunk's
+        # .info write and its async checkpoint flush leaves a completed-
+        # looking ledger whose final state is not on disk; the forward
+        # stage would then run on freshly initialized params.  Only a
+        # missing final checkpoint triggers tail replay (a finished run
+        # with its checkpoints intact resumes as a no-op).
+        last_train = next(
+            (t for t in reversed(tasks)
+             if t.phase == "train" and t.ckpt_files), None,
+        )
+        if last_train is None or all(
+            os.path.exists(p) for p in last_train.ckpt_files.values()
+        ):
+            return []
+        first_pending = len(tasks)
     # the state a fresh process restores at the resume point is exactly the
     # last train task before it whose checkpoint files all exist; any DONE
     # task after that point holds ledger entries for state the restore
@@ -171,6 +191,20 @@ def build_plan(
     rng = random.Random(exp.seed)
     arch_names = list(exp.archs)
 
+    # each dataset's sorted scp lines are loop-invariant: read once instead
+    # of re-reading per epoch / per validation point (Librispeech-scale
+    # scps x 24 epochs x valid points is hundreds of redundant full-file
+    # reads at every process start, including crash resume)
+    _scp_cache: Dict[str, List[str]] = {}
+
+    def read_streams(ds):
+        out = {}
+        for name, f in ds.features.items():
+            if f.lst not in _scp_cache:
+                _scp_cache[f.lst] = _read_scp_lines(f.lst)
+            out[name] = _scp_cache[f.lst]
+        return out
+
     # --- training epochs with interleaved validation
     epochs: List[EpochPlan] = []
     rolling_ckpt: Dict[str, str] = {
@@ -180,9 +214,7 @@ def build_plan(
         tasks: List[ChunkTask] = []
         for ds_name in exp.train_with:
             ds = exp.datasets[ds_name]
-            streams = {
-                name: _read_scp_lines(f.lst) for name, f in ds.features.items()
-            }
+            streams = read_streams(ds)
             # consistent shuffle across streams: shuffle index order
             n_utts = len(next(iter(streams.values())))
             order = list(range(n_utts))
@@ -223,10 +255,7 @@ def build_plan(
                 if ck in val_points:
                     for val_ds_name in exp.valid_with:
                         vds = exp.datasets[val_ds_name]
-                        vstreams = {
-                            n: _read_scp_lines(f.lst)
-                            for n, f in vds.features.items()
-                        }
+                        vstreams = read_streams(vds)
                         n_vutts = len(next(iter(vstreams.values())))
                         vorder = list(range(n_vutts))
                         rng.shuffle(vorder)
@@ -271,7 +300,7 @@ def build_plan(
     forward_tasks: List[ChunkTask] = []
     for ds_name in exp.forward_with:
         ds = exp.datasets[ds_name]
-        streams = {name: _read_scp_lines(f.lst) for name, f in ds.features.items()}
+        streams = read_streams(ds)
         n_utts = len(next(iter(streams.values())))
         chunk_idx = split_chunks(list(range(n_utts)), ds.n_chunks)
         for ck in range(ds.n_chunks):
