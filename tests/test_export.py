@@ -55,12 +55,14 @@ def test_export_roundtrip_matches_live(trained, tmp_path):
     assert model.meta["seq_model"] is True
     assert model.meta["outs"]
 
+    assert model.meta["batch"] == 0  # fully symbolic (any T, any B)
     rng = np.random.default_rng(3)
-    for T in (23, 57):  # two lengths through ONE artifact (symbolic T)
+    # two lengths AND two batch sizes through ONE artifact
+    for T, B in ((23, 1), (57, 3)):
         feats = rng.standard_normal(
-            (T, 1, model.meta["inp_dim"])
+            (T, B, model.meta["inp_dim"])
         ).astype(np.float32)
-        lengths = np.asarray([T], np.int32)
+        lengths = np.asarray([T] * B, np.int32)
         got = model.call(feats, lengths)
         want = _live_forward(cfg, feats, lengths)
         assert set(got) == set(want)

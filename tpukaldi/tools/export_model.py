@@ -19,9 +19,11 @@ Design notes:
   the platforms requested with --platforms);
 - input contract matches the driver's forward mode (core.py:483-484
   semantics): `(T, B, D)` time-major features, `lengths (B,)` valid frame
-  counts (drives the exact lengths-aware bidirectional reversal), `T`
-  symbolic, `B` fixed at export time (default 1 = the reference's forward
-  batch);
+  counts (drives the exact lengths-aware bidirectional reversal).  By
+  default BOTH T and B are symbolic — one artifact serves any utterance
+  length at any batch size (bucketed batched serving included); pass
+  `--batch N` to pin the batch when a graph resists batch polymorphism
+  (the export falls back to batch=1 automatically in that case);
 - `--normalize` bakes the count-file log-priors into the function so the
   output is directly the decoder input (core.py:665-668 semantics).
 """
@@ -65,7 +67,7 @@ def _sample_chunk(exp, n_utts: int = 1):
 def export_forward(
     cfg_path: str,
     out_dir: str,
-    batch: int = 1,
+    batch: int = 0,
     platforms: Optional[list] = None,
     normalize: bool = False,
 ) -> str:
@@ -92,9 +94,7 @@ def export_forward(
     graph = build_graph(exp, chunk.fea_layout, chunk.lab_layout)
     D = chunk.feats.shape[-1]
     sample = jnp.asarray(
-        chunk.feats[: min(8, chunk.feats.shape[0])][:, None, :].repeat(
-            batch, axis=1
-        )
+        chunk.feats[: min(8, chunk.feats.shape[0])][:, None, :]
     )
     params, stats = init_graph(graph, jax.random.key(exp.seed), sample)
 
@@ -133,15 +133,33 @@ def export_forward(
             }
         return outs
 
-    T = jax_export.symbolic_shape("t")[0]
-    args = (
-        jax.ShapeDtypeStruct((T, batch, D), jnp.float32),
-        jax.ShapeDtypeStruct((batch,), jnp.int32),
-    )
     kwargs = {}
     if platforms:
         kwargs["platforms"] = platforms
-    exported = jax_export.export(jax.jit(serve), **kwargs)(*args)
+
+    def _export(b):
+        if b == 0:
+            T, B = jax_export.symbolic_shape("t, b")
+        else:
+            T = jax_export.symbolic_shape("t")[0]
+            B = b
+        args = (
+            jax.ShapeDtypeStruct((T, B, D), jnp.float32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        )
+        return jax_export.export(jax.jit(serve), **kwargs)(*args)
+
+    try:
+        exported = _export(batch)
+        exported_batch = batch
+    except Exception:
+        if batch != 0:
+            raise
+        # some graphs resist batch polymorphism (e.g. shape products the
+        # solver cannot relate); a fixed reference-forward batch of 1 is
+        # always exportable
+        exported = _export(1)
+        exported_batch = 1
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "forward.stablehlo"), "wb") as f:
@@ -149,7 +167,7 @@ def export_forward(
     meta = {
         "format": "tpukaldi-serving-v1",
         "inp_dim": int(D),
-        "batch": int(batch),
+        "batch": int(exported_batch),  # 0 = symbolic (any batch size)
         "seq_model": bool(graph.seq_model),
         "outs": list(exp.forward.outs),
         "normalized": sorted(log_priors),
@@ -198,8 +216,9 @@ def main(argv=None) -> int:
     )
     ap.add_argument("cfg", help="experiment cfg (training must be complete)")
     ap.add_argument("--out", required=True, help="artifact output directory")
-    ap.add_argument("--batch", type=int, default=1,
-                    help="fixed batch size of the artifact (default 1)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="batch size of the artifact; 0 (default) = "
+                    "symbolic, serves any batch size")
     ap.add_argument("--platforms", default=None,
                     help="comma list, e.g. tpu,cpu (default: current)")
     ap.add_argument("--normalize", action="store_true",
