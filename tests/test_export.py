@@ -119,6 +119,36 @@ def test_export_cli(trained, tmp_path):
     assert os.path.exists(os.path.join(art, "meta.json"))
 
 
+@pytest.mark.parametrize("arch", ["GRU", "LSTM", "SRU", "QLSTM"])
+def test_export_zoo_family(arch, tmp_path_factory):
+    """Every recurrent family exports and the artifact serves finite,
+    normalized posteriors; symbolic batch where the graph allows it
+    (meta.batch==0), otherwise the documented batch=1 fallback."""
+    root = tmp_path_factory.mktemp(f"exz_{arch}")
+    corpus = generate_corpus(str(root / "c"), n_utts=8, feat_dim=12,
+                             seed=17, min_len=30, max_len=60, noise=0.4)
+    out = str(root / "e")
+    cfg = write_cfg(corpus, out, arch=arch, hidden=16, n_epochs=1,
+                    n_chunks=1, batch_size=4, cw=0, lr=0.05)
+    run_experiment(cfg)
+    art = export_forward(cfg, str(root / "art"))
+    model = load_exported(art)
+    B = 2 if model.meta["batch"] == 0 else model.meta["batch"]
+    T = 19
+    rng = np.random.default_rng(7)
+    feats = rng.standard_normal((T, B, model.meta["inp_dim"])).astype(
+        np.float32
+    )
+    outs = model.call(feats, [T] * B)
+    for v in outs.values():
+        v = np.asarray(v)
+        assert v.shape[0] == T * B
+        assert np.isfinite(v).all()
+        np.testing.assert_allclose(
+            np.exp(v.astype(np.float64)).sum(axis=1), 1.0, atol=1e-3
+        )
+
+
 def test_export_requires_trained_checkpoints(tmp_path):
     corpus = generate_corpus(str(tmp_path / "c"), n_utts=6, seed=1)
     cfg = write_cfg(corpus, str(tmp_path / "e"), arch="MLP", n_epochs=1,
