@@ -233,6 +233,36 @@ def test_crash_after_last_info_before_ckpt_flush_replays(corpus,
     assert glob.glob(os.path.join(ef, "final_*.ckpt"))
 
 
+def test_finished_run_with_only_final_ckpts_is_noop_resume(corpus,
+                                                           tmp_path_factory):
+    """Rolling train checkpoints deleted after final promotion (normal disk
+    hygiene) must NOT trigger a tail replay: intact final_*.ckpt files mean
+    the run's final state is on disk and a re-invocation is a no-op."""
+    import glob
+
+    from tpukaldi.config import load_config
+    from tpukaldi.plan import build_plan
+    from tpukaldi.plan.planner import repair_resume_point
+
+    out = str(tmp_path_factory.mktemp("noop"))
+    cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=2,
+                    n_chunks=2, batch_size=32, lr=0.2)
+    run_experiment(cfg)
+    ef = os.path.join(out, "exp_files")
+    rolling = glob.glob(os.path.join(ef, "train_*_ck*_*.ckpt"))
+    assert rolling
+    for f in rolling:
+        os.remove(f)
+    assert glob.glob(os.path.join(ef, "final_*.ckpt"))
+    plan = build_plan(load_config(cfg))
+    assert repair_resume_point(plan) == []  # no ledger invalidation
+    infos = set(glob.glob(os.path.join(ef, "train_*.info")))
+    run_experiment(cfg)  # full driver re-invocation is also a no-op
+    assert set(glob.glob(os.path.join(ef, "train_*.info"))) == infos
+    # rolling checkpoints were NOT regenerated (nothing retrained)
+    assert not glob.glob(os.path.join(ef, "train_*_ck*_*.ckpt"))
+
+
 def test_ckpt_cadence_matches_per_chunk(corpus, tmp_path_factory, monkeypatch):
     """TPUKALDI_CKPT_EVERY=N must not change any result: identical res.res
     (modulo wall time) and identical posteriors, with rolling checkpoints

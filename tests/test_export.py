@@ -107,12 +107,17 @@ def test_export_cli(trained, tmp_path):
 
     cfg, out, _ = trained
     art = str(tmp_path / "cli_art")
+    import tpukaldi
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(
+        tpukaldi.__file__
+    )))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run(
         [sys.executable, "-m", "tpukaldi.tools.export_model", cfg,
          "--out", art],
-        capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"},
-        cwd="/root/repo",
+        capture_output=True, text=True, env=env, cwd=repo_root,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(art, "forward.stablehlo"))
@@ -146,6 +151,35 @@ def test_export_zoo_family(arch, tmp_path_factory):
         assert np.isfinite(v).all()
         np.testing.assert_allclose(
             np.exp(v.astype(np.float64)).sum(axis=1), 1.0, atol=1e-3
+        )
+
+
+def test_export_bf16_experiment_records_dtype(tmp_path_factory):
+    """A bf16-trained cfg exports with the same compute dtype its
+    ledger/decode posteriors used (meta.compute_dtype=bfloat16)."""
+    root = tmp_path_factory.mktemp("exb16")
+    corpus = generate_corpus(str(root / "c"), n_utts=8, seed=23, noise=0.4)
+    out = str(root / "e")
+    cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=1,
+                    n_chunks=1, batch_size=32, lr=0.2)
+    text = open(cfg).read().replace("[exp]", "[exp]\ncompute_dtype = bfloat16",
+                                    1)
+    open(cfg, "w").write(text)
+    run_experiment(cfg)
+    art = export_forward(cfg, str(root / "art"))
+    model = load_exported(art)
+    assert model.meta["compute_dtype"] == "bfloat16"
+    assert "per-chunk CMVN" in model.meta["input_contract"]["preprocessing"]
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((9, 2, model.meta["inp_dim"])).astype(
+        np.float32
+    )
+    outs = model.call(feats, [9, 9])
+    for v in outs.values():
+        v = np.asarray(v)
+        assert v.dtype == np.float32 and np.isfinite(v).all()
+        np.testing.assert_allclose(
+            np.exp(v.astype(np.float64)).sum(axis=1), 1.0, atol=1e-2
         )
 
 

@@ -67,11 +67,16 @@ def init_distributed(
 # ---------------------------------------------------------------------------
 
 
-def global_batch_from_host_shards(array, mesh: Mesh, batch_axis: int = 0):
+def global_batch_from_host_shards(array, mesh: Mesh,
+                                  batch_axis: Optional[int] = None):
     """Each host passes ITS shard of the batch (rows it loaded); returns the
-    global jax.Array sharded over the mesh 'data' axis."""
+    global jax.Array sharded over the mesh 'data' axis.  Default batch
+    axis follows the same repo convention as `shard_batch`: axis 1 for
+    time-major (T, B, D) tensors, axis 0 otherwise."""
     from jax.experimental import multihost_utils
 
+    if batch_axis is None:
+        batch_axis = 1 if array.ndim == 3 else 0
     spec = [None] * array.ndim
     spec[batch_axis] = "data"
     return multihost_utils.host_local_array_to_global_array(

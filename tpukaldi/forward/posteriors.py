@@ -36,16 +36,29 @@ class PosteriorWriter:
             if forward.normalize_posteriors[i]:
                 counts = load_counts(forward.counts_from[i])
                 if (counts <= 0).any():
-                    import logging
-
-                    logging.warning(
-                        "count file %s has %d zero/negative entries; the "
-                        "resulting -inf log-priors would dominate every "
+                    msg = (
+                        f"count file {forward.counts_from[i]} has "
+                        f"{int((counts <= 0).sum())} zero/negative entries; "
+                        "the resulting -inf log-priors would dominate every "
                         "frame after subtraction — flooring to 1 (the same "
                         "floor forward/counts.py applies when generating "
-                        "counts)", forward.counts_from[i],
-                        int((counts <= 0).sum()),
+                        "counts)"
                     )
+                    import logging
+
+                    logging.warning(msg)
+                    # also land it in the experiment's log.log (stderr is
+                    # lost in detached runs); exp_files/<info> ->
+                    # out_folder/log.log
+                    try:
+                        out_folder = os.path.dirname(
+                            os.path.dirname(os.path.abspath(info_file))
+                        )
+                        with open(os.path.join(out_folder, "log.log"),
+                                  "a") as lf:
+                            lf.write(f"WARNING: {msg}\n")
+                    except OSError:
+                        pass
                     counts = np.maximum(counts, 1.0)
                 self.log_priors[out] = np.log(counts / counts.sum())
             else:

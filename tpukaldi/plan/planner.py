@@ -123,9 +123,17 @@ def repair_resume_point(plan: "ExperimentPlan") -> List[str]:
         # every .info exists — but a crash between the LAST train chunk's
         # .info write and its async checkpoint flush leaves a completed-
         # looking ledger whose final state is not on disk; the forward
-        # stage would then run on freshly initialized params.  Only a
-        # missing final checkpoint triggers tail replay (a finished run
-        # with its checkpoints intact resumes as a no-op).
+        # stage would then run on freshly initialized params.  Two ways a
+        # finished run legitimately resumes as a no-op: the promoted
+        # final_*.ckpt files exist (rolling ckpts may have been deleted as
+        # disk hygiene afterwards — run_exp re-promotes from rolling only
+        # when finals are absent), or the last rolling checkpoints exist
+        # (promotion hasn't happened yet).  Only when BOTH are missing is
+        # the final state unreproducible and the tail replayed.
+        if plan.final_ckpts and all(
+            os.path.exists(p) for p in plan.final_ckpts.values()
+        ):
+            return []
         last_train = next(
             (t for t in reversed(tasks)
              if t.phase == "train" and t.ckpt_files), None,

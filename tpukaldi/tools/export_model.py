@@ -42,6 +42,8 @@ import numpy as np
 def _sample_chunk(exp, n_utts: int = 1):
     """Load a tiny fea-only chunk of the forward dataset to discover the
     feature layout (splice/cw dims) exactly as the runtime would."""
+    import shutil
+
     from ..config.model_dsl import used_names
     from ..data.chunk_loader import load_chunk
 
@@ -50,18 +52,22 @@ def _sample_chunk(exp, n_utts: int = 1):
         ds.features
     )
     tmp = tempfile.mkdtemp(prefix="tpukaldi_export_")
-    overrides = {}
-    for name in fea_names:
-        f = ds.features[name]
-        with open(f.lst) as fh:
-            lines = [l for l in fh.read().splitlines() if l.strip()][:n_utts]
-        p = os.path.join(tmp, f"{name}.lst")
-        with open(p, "w") as fh:
-            fh.write("\n".join(lines) + "\n")
-        overrides[name] = p
-    msl = exp.batches.msl_for_phase("forward", 0)
-    return load_chunk(ds, fea_names, [], msl, fea_only=True,
-                      fea_lst_override=overrides)
+    try:
+        overrides = {}
+        for name in fea_names:
+            f = ds.features[name]
+            with open(f.lst) as fh:
+                lines = [l for l in fh.read().splitlines()
+                         if l.strip()][:n_utts]
+            p = os.path.join(tmp, f"{name}.lst")
+            with open(p, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+            overrides[name] = p
+        msl = exp.batches.msl_for_phase("forward", 0)
+        return load_chunk(ds, fea_names, [], msl, fea_only=True,
+                          fea_lst_override=overrides)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def export_forward(
@@ -122,7 +128,12 @@ def export_forward(
                 counts = np.maximum(counts, 1.0)
                 log_priors[out] = np.log(counts / counts.sum())
 
-    fwd = make_forward_step(graph)
+    # match the experiment's forward compute dtype (bf16 cfgs must export
+    # the same numerics their ledger/decode posteriors used)
+    from ..train.chunk_runtime import ChunkRuntime
+
+    compute_dtype = ChunkRuntime(exp)._compute_dtype()
+    fwd = make_forward_step(graph, compute_dtype=compute_dtype)
 
     def serve(feats, lengths):
         outs = fwd(params, stats, feats, lengths)
@@ -152,18 +163,26 @@ def export_forward(
     try:
         exported = _export(batch)
         exported_batch = batch
-    except Exception:
+    except Exception as e:
         if batch != 0:
             raise
         # some graphs resist batch polymorphism (e.g. shape products the
         # solver cannot relate); a fixed reference-forward batch of 1 is
-        # always exportable
+        # always exportable — but say so, the downgrade changes the
+        # artifact's serving contract (meta.json batch=1)
+        import logging
+
+        logging.warning(
+            "symbolic-batch export failed (%s: %s); falling back to a "
+            "fixed batch=1 artifact", type(e).__name__, e,
+        )
         exported = _export(1)
         exported_batch = 1
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "forward.stablehlo"), "wb") as f:
         f.write(exported.serialize())
+    ds = exp.datasets[exp.forward_with[0]]
     meta = {
         "format": "tpukaldi-serving-v1",
         "inp_dim": int(D),
@@ -172,6 +191,23 @@ def export_forward(
         "outs": list(exp.forward.outs),
         "normalized": sorted(log_priors),
         "platforms": list(exported.platforms),
+        "compute_dtype": "bfloat16" if compute_dtype is not None else
+        "float32",
+        # the INPUT CONTRACT: the artifact consumes LOADER-PROCESSED
+        # features — the same (T, B, D) tensors the runtime feeds the
+        # network, i.e. after the per-stream fea_opts pipeline, context-
+        # window splice, and the reference's per-chunk CMVN
+        # (data/chunk_loader.py).  Raw un-normalized features of the right
+        # width would yield silently degraded posteriors.
+        "input_contract": {
+            "preprocessing": "fea_opts + splice + per-chunk CMVN "
+            "(tpukaldi.data.chunk_loader semantics)",
+            "streams": {
+                name: {"cw_left": f.cw_left, "cw_right": f.cw_right,
+                       "fea_opts": f.opts}
+                for name, f in ds.features.items()
+            },
+        },
         "source_cfg": os.path.abspath(cfg_path),
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
