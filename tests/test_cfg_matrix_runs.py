@@ -255,6 +255,7 @@ TIMIT_CASES = {
          "dnn_drop = 0.15*1|0.20*1,0.15,0.15*1|0.20*1,0.15,0.0"),
     ),
     "TIMIT/GRU_mfcc.cfg": (),
+    "TIMIT/liGRU_fmllr_bf16.cfg": (),  # bf16 compute-mode extension recipe
     "TIMIT/LSTM_fmllr_cudnn.cfg": (),
     "TIMIT/SRU_fbank.cfg": (),
     "TIMIT/CNN_fbank.cfg": (),

@@ -404,13 +404,21 @@ RECURRENT_PREFIX = {"LSTM": "lstm", "GRU": "gru", "RNN": "rnn",
                     "liGRU": "ligru", "minimalGRU": "minimalgru"}
 
 
-def timit_recurrent(cls, fea, lr_schedule=False, exp_suffix=""):
+def timit_recurrent(cls, fea, lr_schedule=False, exp_suffix="",
+                    compute_dtype=None):
     """Reference TIMIT_{LSTM,GRU,RNN,liGRU}_{mfcc,fbank,fmllr}.cfg: 5x550
-    bidirectional body + joint cd/mono MLP heads, rmsprop 0.0004."""
+    bidirectional body + joint cd/mono MLP heads, rmsprop 0.0004.
+    `compute_dtype` emits the tpukaldi mixed-precision extension field."""
     prefix = RECURRENT_PREFIX[cls]
     act = RECURRENT_ACTS[cls]
     name = f"TIMIT_{cls}_{fea}{exp_suffix}"
     cfg = HEADER.format(exp_name=name, n_epochs=24)
+    if compute_dtype:
+        cfg = cfg.replace(
+            "run_nn_script = run_nn",
+            f"run_nn_script = run_nn\ncompute_dtype = {compute_dtype}",
+            1,
+        )
     cfg += timit_datasets(0)
     cfg += DATA_USE.format(tr="TIMIT_tr", dev="TIMIT_dev", te="TIMIT_test")
     cfg += BATCHES.format(bs=8, msl=1000, curr="True", bs_valid=8)
@@ -1019,6 +1027,10 @@ GENERATORS = {
     "TIMIT/liGRU_fmllr.cfg": lambda: timit_recurrent("liGRU", "fmllr"),
     "TIMIT/liGRU_fmllr_lr_schedule.cfg": lambda: timit_recurrent(
         "liGRU", "fmllr", lr_schedule=True, exp_suffix="_lr_schedule"),
+    # tpukaldi extension: the flagship recipe under the bf16 compute mode
+    # (f32 masters; see train/step.py)
+    "TIMIT/liGRU_fmllr_bf16.cfg": lambda: timit_recurrent(
+        "liGRU", "fmllr", exp_suffix="_bf16", compute_dtype="bfloat16"),
     "TIMIT/RNN_mfcc.cfg": lambda: timit_recurrent("RNN", "mfcc"),
     "TIMIT/RNN_fbank.cfg": lambda: timit_recurrent("RNN", "fbank"),
     "TIMIT/RNN_fmllr.cfg": lambda: timit_recurrent("RNN", "fmllr"),
