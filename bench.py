@@ -157,13 +157,34 @@ def main():
     e2e = None
     e2e_cad = None
     if os.environ.get("TPUKALDI_BENCH_E2E", "1") != "0":
-        e2e = bench_e2e_epoch()
-        # same epoch with checkpoint cadence = once per epoch
-        # (TPUKALDI_CKPT_EVERY): the per-chunk rolling-checkpoint D2H is
-        # ~100 MB/chunk and dominates epoch time over the tunneled device
-        # link; the cadence knob trades resume granularity for that
-        # bandwidth (exact-replay resume, tested)
-        e2e_cad = bench_e2e_epoch(ckpt_every=5)
+        # the e2e section regenerates a TIMIT-scale corpus + runs the full
+        # driver twice — minutes of work.  A SIGALRM guard makes sure the
+        # already-measured headline step/MFU metrics still print if this
+        # section overruns an external timeout budget.
+        import signal
+
+        def _bail(signum, frame):
+            raise TimeoutError("bench e2e section overran its budget")
+
+        budget = int(os.environ.get("TPUKALDI_BENCH_E2E_BUDGET", "2400"))
+        old = signal.signal(signal.SIGALRM, _bail)
+        signal.alarm(budget)
+        try:
+            e2e = bench_e2e_epoch()
+            # same epoch with checkpoint cadence = once per epoch
+            # (TPUKALDI_CKPT_EVERY): the per-chunk rolling-checkpoint D2H
+            # is ~100 MB/chunk and dominates epoch time over the tunneled
+            # device link; the cadence knob trades resume granularity for
+            # that bandwidth (exact-replay resume, tested)
+            e2e_cad = bench_e2e_epoch(ckpt_every=5)
+        except TimeoutError as e:
+            import sys
+
+            print(f"[bench] {e}; emitting step metrics only",
+                  file=sys.stderr)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
 
     if e2e is not None:
         print(json.dumps({
