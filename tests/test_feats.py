@@ -94,6 +94,28 @@ def test_pipeline_apply_cmvn_and_deltas(tmp_path):
     np.testing.assert_allclose(out, expect, rtol=1e-5)
 
 
+def test_pipeline_apply_cmvn_scp_indirection(tmp_path):
+    """Standard Kaldi recipes reference cmvn stats through an scp
+    (compute_cmvn_stats.sh -> cmvn.scp); `apply-cmvn ... scp:cmvn.scp`
+    must honor the indirection, matching the direct-ark result."""
+    from tpukaldi.io import ArkScpWriter, apply_pipeline, parse_pipeline
+
+    rng = np.random.default_rng(8)
+    feats = rng.standard_normal((20, 7)).astype(np.float32)
+    stats = F.compute_cmvn_stats(feats)
+    with ArkScpWriter(str(tmp_path / "cmvn.ark"),
+                      str(tmp_path / "cmvn.scp")) as w:
+        w.write("spk1", stats.astype(np.float64))
+    u2s = tmp_path / "utt2spk"
+    u2s.write_text("utt1 spk1\n")
+    stages = parse_pipeline(
+        f"apply-cmvn --utt2spk=ark:{u2s} scp:{tmp_path}/cmvn.scp "
+        "ark:- ark:- |"
+    )
+    out = apply_pipeline(stages, "utt1", feats)
+    np.testing.assert_allclose(out, F.apply_cmvn(feats, stats), rtol=1e-5)
+
+
 def test_pipeline_splice_feats_edge_replication():
     """splice-feats replicates edge frames (Kaldi semantics, distinct from
     the chunk-level roll splice at data_io.py:228); asymmetric contexts."""

@@ -357,3 +357,29 @@ def test_mse_mask_never_crosses_time_rates():
     )
     np.testing.assert_allclose(float(outs["loss_final"]), expect_masked,
                                rtol=1e-6)
+
+
+def test_forward_outs_order_independent(setup):
+    """to_do='forward' must compute EVERY requested output regardless of
+    the forward_out list order vs program order (stopping at the list's
+    last element would skip outs the program computes later)."""
+    import jax.numpy as jnp
+
+    exp, chunk, *_ = setup
+    graph = build_graph(exp, chunk.fea_layout, chunk.lab_layout)
+    batch = next(iter_frame_batches(chunk, 64))
+    params, stats = init_graph(graph, jax.random.key(0),
+                               jnp.asarray(batch.feats))
+    # request the model's final out AND a feature slice listed after it;
+    # the slice "exists" from statement 0, so the old last-element break
+    # would be before the final out for the reversed order
+    final_out = graph.forward_outs[-1]
+    first_computed = next(s.out for s in graph.stmts if s.op == "compute")
+    for order in ([first_computed, final_out], [final_out, first_computed]):
+        graph.forward_outs = list(order)
+        outs, _ = apply_graph(
+            graph, params, stats, jnp.asarray(batch.feats), None,
+            train=False, to_do="forward",
+        )
+        for name in order:
+            assert name in outs, (order, sorted(outs))

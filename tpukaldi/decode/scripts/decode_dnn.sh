@@ -34,8 +34,17 @@ alidir=
 data=
 graphdir=
 
-# load "key = value" conf lines as shell variables (quoted values survive)
-eval "$(grep -E '^[A-Za-z_][A-Za-z_0-9]* *=' "$conf" | sed 's/ *= */=/')"
+# load "key = value" conf lines as shell variables WITHOUT eval: an
+# unquoted multi-word value (scoring_opts = --min-lmwt 1 ...) or a path
+# with spaces must stay one assignment, never word-split into a command
+while IFS= read -r line; do
+  key=${line%%=*}
+  value=${line#*=}
+  case "$value" in
+    \"*\") value=${value%\"}; value=${value#\"} ;;
+  esac
+  printf -v "$key" '%s' "$value"
+done < <(grep -E '^[A-Za-z_][A-Za-z_0-9]* *=' "$conf" | sed 's/ *= */=/')
 
 for f in "$graphdir/HCLG.fst" "$graphdir/words.txt" "$alidir/final.mdl"; do
   [ -f "$f" ] || { echo "$0: missing $f" >&2; exit 1; }
@@ -73,6 +82,13 @@ esac
 
 here=$(cd "$(dirname "$0")" && pwd)
 scorer=$scoring_script
+if [ -n "$scorer" ] && [ ! -x "$scorer" ]; then
+  # the fallback word scorer is a different protocol (e.g. no TIMIT
+  # 48->39 phone folding) — never swap it in silently
+  echo "$0: WARNING: scoring_script '$scorer' not found/executable;" \
+       "falling back to generic $here/score_wer.sh (results may not be" \
+       "comparable to the recipe's scoring protocol)" >&2
+fi
 [ -n "$scorer" ] && [ -x "$scorer" ] || scorer="$here/score_wer.sh"
 # shellcheck disable=SC2086  # scoring_opts is intentionally word-split
 "$scorer" $scoring_opts "$data" "$graphdir" "$dir"

@@ -204,6 +204,11 @@ def apply_graph(
     """
     outs = _feature_slices(graph, feats)
     new_stats = dict(batch_stats)
+    # forward mode stops once every requested output exists; tracked as a
+    # set because the cfg's forward_out order need not match program order
+    # (stopping at forward_outs[-1] would skip outs computed later in the
+    # program than the list's last element)
+    pending_fwd = set(graph.forward_outs) if to_do == "forward" else set()
 
     # bucket-padding cost masks: label-rate rows for nll/err, feature-rate
     # rows for mse; selected per-cost by flattened-row-count match
@@ -305,10 +310,8 @@ def apply_graph(
                     mask = cand
                     break
             outs[s.out] = _masked_mean(vals, mask)
-        if (
-            to_do == "forward"
-            and graph.forward_outs
-            and s.out == graph.forward_outs[-1]
-        ):
-            break
+        if pending_fwd:
+            pending_fwd.discard(s.out)
+            if not pending_fwd:
+                break
     return outs, new_stats

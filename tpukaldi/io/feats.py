@@ -30,7 +30,7 @@ def splice(feats: np.ndarray, left: int, right: int) -> np.ndarray:
 
     fast = native.splice(feats, left, right)
     if fast is not None:
-        return fast
+        return fast.astype(feats.dtype, copy=False)
     n, d = feats.shape
     out = np.empty((n, d * (left + right + 1)), dtype=feats.dtype)
     for idx, lag in enumerate(range(-left, right + 1)):

@@ -331,9 +331,13 @@ def read_vec_flt(fd_or_path: Union[str, BinaryIO]) -> np.ndarray:
             else:
                 raise KaldiIOError(f"unknown vector token {token!r}")
             dim = _read_int32(fd)
-            return np.frombuffer(fd.read(dim * itemsize), dtype=dtype).astype(
-                np.float32
-            )
+            buf = fd.read(dim * itemsize)
+            if len(buf) != dim * itemsize:
+                raise KaldiIOError(
+                    f"truncated vector payload: wanted {dim * itemsize} "
+                    f"bytes, got {len(buf)}"
+                )
+            return np.frombuffer(buf, dtype=dtype).astype(np.float32)
         # text vector: "[ v v v ]"
         return _read_text_mat(fd).reshape(-1)
     finally:

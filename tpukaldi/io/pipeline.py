@@ -60,9 +60,18 @@ def _make_apply_cmvn(args: List[str]) -> Stage:
     utt2spk = (
         _read_utt2spk(_strip_rxspec(opts["utt2spk"])) if "utt2spk" in opts else None
     )
-    # positional: <cmvn-stats-rspec> <in> <out>; in/out are 'ark:-'
-    stats_path = _strip_rxspec(positional[0])
-    stats = F.read_cmvn_stats(stats_path)
+    # positional: <cmvn-stats-rspec> <in> <out>; in/out are 'ark:-'.
+    # Standard Kaldi recipes write per-speaker cmvn stats behind an scp
+    # (steps/compute_cmvn_stats.sh -> cmvn.scp); honor the indirection
+    # instead of misparsing the scp text as an ark.
+    rspec = positional[0]
+    stats_path = _strip_rxspec(rspec)
+    if rspec.startswith(("scp:", "scp,t:")):
+        from .kaldi_io import read_mat_scp
+
+        stats = {k: m for k, m in read_mat_scp(stats_path)}
+    else:
+        stats = F.read_cmvn_stats(stats_path)
 
     def stage(key: str, mat: np.ndarray) -> np.ndarray:
         spk = utt2spk.get(key, key) if utt2spk is not None else key

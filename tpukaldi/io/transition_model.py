@@ -51,11 +51,7 @@ def _expect_token(fd: BinaryIO, want: str) -> None:
         raise KaldiIOError(f"expected token {want!r}, got {got!r}")
 
 
-def _read_basic_int(fd: BinaryIO) -> int:
-    size = fd.read(1)
-    if size != b"\x04":
-        raise KaldiIOError(f"expected int32 size byte, got {size!r}")
-    return struct.unpack("<i", fd.read(4))[0]
+from .kaldi_io import _read_int32 as _read_basic_int  # same wire format
 
 
 def _read_basic_float(fd: BinaryIO) -> float:
