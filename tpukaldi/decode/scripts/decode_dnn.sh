@@ -36,14 +36,21 @@ graphdir=
 
 # load "key = value" conf lines as shell variables WITHOUT eval: an
 # unquoted multi-word value (scoring_opts = --min-lmwt 1 ...) or a path
-# with spaces must stay one assignment, never word-split into a command
+# with spaces must stay one assignment, never word-split into a command.
+# Only whitelisted keys are accepted — a stray cfg key named `dir`/`arks`/
+# `PATH` must never clobber script state (the reference's source-based
+# loader had exactly that flaw)
 while IFS= read -r line; do
   key=${line%%=*}
   value=${line#*=}
   case "$value" in
     \"*\") value=${value%\"}; value=${value#\"} ;;
   esac
-  printf -v "$key" '%s' "$value"
+  case "$key" in
+    min_active|max_active|max_mem|beam|latbeam|acwt|alidir|data|graphdir|scoring_script|scoring_opts|skip_scoring)
+      printf -v "$key" '%s' "$value" ;;
+    *) ;;  # ignore unknown keys (e.g. threads, norm_vars passthroughs)
+  esac
 done < <(grep -E '^[A-Za-z_][A-Za-z_0-9]* *=' "$conf" | sed 's/ *= */=/')
 
 for f in "$graphdir/HCLG.fst" "$graphdir/words.txt" "$alidir/final.mdl"; do

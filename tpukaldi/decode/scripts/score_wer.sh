@@ -32,6 +32,10 @@ done
 
 nj=$(cat "$dir/num_jobs")
 mkdir -p "$dir/scoring/log"
+# drop stale wer files from a previous scoring run in the same decode dir
+# (run_exp deliberately re-decodes into the same folder on restart): the
+# sweep's exit status and the harvested files must reflect only THIS run
+rm -f "$dir"/wer_*
 
 lats=""
 for j in $(seq 1 "$nj"); do lats="$lats $dir/lat.$j.gz"; done

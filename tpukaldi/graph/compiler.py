@@ -207,8 +207,20 @@ def apply_graph(
     # forward mode stops once every requested output exists; tracked as a
     # set because the cfg's forward_out order need not match program order
     # (stopping at forward_outs[-1] would skip outs computed later in the
-    # program than the list's last element)
-    pending_fwd = set(graph.forward_outs) if to_do == "forward" else set()
+    # program than the list's last element).  Outputs already materialized
+    # as raw feature slices are drained up front, and skipped cost ops
+    # drain too — otherwise a slice/cost forward_out would leave the set
+    # non-empty forever and the whole program would run with no early stop
+    if to_do == "forward":
+        pending_fwd = set(graph.forward_outs) - set(outs)
+        if not pending_fwd:
+            return outs, new_stats
+    else:
+        pending_fwd = set()
+
+    def _drained(name):
+        pending_fwd.discard(name)
+        return not pending_fwd
 
     # bucket-padding cost masks: label-rate rows for nll/err, feature-rate
     # rows for mse; selected per-cost by flattened-row-count match
@@ -267,6 +279,8 @@ def apply_graph(
             outs[s.out] = out
         elif s.op == "cost_nll":
             if to_do == "forward":
+                if _drained(s.out):
+                    break
                 continue
             logp = _flatten_out(outs[s.arg1])
             y = get_label(s.arg2)
@@ -274,6 +288,8 @@ def apply_graph(
             outs[s.out] = _masked_mean(vals, lab_mask)
         elif s.op == "cost_err":
             if to_do == "forward":
+                if _drained(s.out):
+                    break
                 continue
             logp = _flatten_out(outs[s.arg1])
             y = get_label(s.arg2)
@@ -310,8 +326,6 @@ def apply_graph(
                     mask = cand
                     break
             outs[s.out] = _masked_mean(vals, mask)
-        if pending_fwd:
-            pending_fwd.discard(s.out)
-            if not pending_fwd:
-                break
+        if pending_fwd and _drained(s.out):
+            break
     return outs, new_stats

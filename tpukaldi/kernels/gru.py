@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpukaldi.kernels._common import log_vmem_fallback as _log_vmem_fallback
+
 TIME_BLOCK = 16
 
 
@@ -252,12 +254,18 @@ def _bwd(act_name, interpret, res, g):
     T, B, H3 = ff.shape
     H = H3 // 3
     if not _bwd_fits_vmem(B, H):
-        return _bwd_scan(act_name, interpret, res, g)
-    h_prev = jnp.concatenate(
-        [jnp.zeros((1, B, H), ff.dtype), h_seq[:-1]], axis=0
+        _log_vmem_fallback("gru", B, H)
+        grads = _bwd_scan(act_name, interpret, res, g)
+    else:
+        h_prev = jnp.concatenate(
+            [jnp.zeros((1, B, H), ff.dtype), h_seq[:-1]], axis=0
+        )
+        grads = _gru_pallas_bwd_impl(ff, h_prev, g, uzr, uh, mask, act_name,
+                                     interpret=interpret)
+    # match cotangent dtypes to the primal avals (bf16 compute mode)
+    return tuple(
+        gr.astype(p.dtype) for gr, p in zip(grads, (ff, uzr, uh, mask))
     )
-    return _gru_pallas_bwd_impl(ff, h_prev, g, uzr, uh, mask, act_name,
-                                interpret=interpret)
 
 
 def _bwd_scan(act_name, interpret, res, g):

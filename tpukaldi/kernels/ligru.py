@@ -225,8 +225,10 @@ def _bwd(interpret, res, g):
     h_prev = jnp.concatenate(
         [jnp.zeros((1, B, H), ff.dtype), h_seq[:-1]], axis=0
     )
-    return _ligru_pallas_bwd_impl(ff, h_prev, g, u, mask,
-                                  interpret=interpret)
+    grads = _ligru_pallas_bwd_impl(ff, h_prev, g, u, mask,
+                                   interpret=interpret)
+    # match cotangent dtypes to the primal avals (bf16 compute mode)
+    return tuple(gr.astype(p.dtype) for gr, p in zip(grads, (ff, u, mask)))
 
 
 def _bwd_scan(interpret, res, g):

@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpukaldi.kernels._common import log_vmem_fallback as _log_vmem_fallback
+
 TIME_BLOCK = 16
 
 
@@ -258,12 +260,18 @@ def _bwd(interpret, res, g):
     T, B, H4 = ff.shape
     H = H4 // 4
     if not _bwd_fits_vmem(B, H):
-        return _bwd_scan(interpret, res, g)
-    zeros = jnp.zeros((1, B, H), ff.dtype)
-    h_prev = jnp.concatenate([zeros, h_seq[:-1]], axis=0)
-    c_prev = jnp.concatenate([zeros, c_seq[:-1]], axis=0)
-    return _lstm_pallas_bwd_impl(ff, h_prev, c_prev, c_seq, g, u, mask,
-                                 interpret=interpret)
+        _log_vmem_fallback("lstm", B, H)
+        grads = _bwd_scan(interpret, res, g)
+    else:
+        zeros = jnp.zeros((1, B, H), ff.dtype)
+        h_prev = jnp.concatenate([zeros, h_seq[:-1]], axis=0)
+        c_prev = jnp.concatenate([zeros, c_seq[:-1]], axis=0)
+        grads = _lstm_pallas_bwd_impl(ff, h_prev, c_prev, c_seq, g, u, mask,
+                                      interpret=interpret)
+    # cotangent dtypes must match the primal avals (bf16 compute mode feeds
+    # bf16 ff/u/mask): the pinned JAX tolerates f32-vs-bf16 custom_vjp
+    # outputs, future releases may not
+    return tuple(gr.astype(p.dtype) for gr, p in zip(grads, (ff, u, mask)))
 
 
 def _bwd_scan(interpret, res, g):

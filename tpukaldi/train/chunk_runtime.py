@@ -451,8 +451,13 @@ class ChunkRuntime:
                 # clamp every reversed index to the last frame)
                 step_lengths = batch.lengths
                 if chunk.rates_differ:
+                    # clamp: an utterance shorter than window_size would
+                    # yield <=0 frames and corrupt the bidirectional
+                    # reversal indices rather than fail loudly (the
+                    # loader's ±window_shift tolerance makes this unlikely
+                    # but not impossible)
                     step_lengths = [
-                        (ln - chunk.window_size) // chunk.window_shift + 1
+                        max(1, (ln - chunk.window_size) // chunk.window_shift + 1)
                         for ln in batch.lengths
                     ]
                 outs = self._forward_step(
@@ -468,7 +473,7 @@ class ChunkRuntime:
                     for k, name in enumerate(batch.names):
                         ln = int(batch.lengths[k])
                         if chunk.rates_differ:
-                            ln = (ln - chunk.window_size) // chunk.window_shift + 1
+                            ln = max(1, (ln - chunk.window_size) // chunk.window_shift + 1)
                         writer.write(out_name, name, post[:ln, k])
                 n += B
                 frames += T * B
