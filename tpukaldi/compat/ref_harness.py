@@ -1,0 +1,724 @@
+"""Pipeline-to-pipeline parity harness against the reference pytorch-kaldi.
+
+The north-star contract (BASELINE.json) is posterior-ark parity: the
+prior-normalized log posteriors tpukaldi emits must match what the
+reference's own forward pipeline (`core.run_nn`, reference core.py:438-671:
+chunk load -> splice -> per-chunk CMVN -> whole-utterance batch-1 forward ->
+`out - log(counts/sum(counts))` -> write_mat ark) produces for the same
+corpus and weights.  Until round 3 that was only proven piecewise; this
+module measures the COMPOSITION:
+
+1. `build_parity_tree` synthesizes a Kaldi-shaped corpus the REFERENCE can
+   consume: feats ark/scp, utt2spk, speaker cmvn stats, and real
+   transition-id alignments (`ali.1.gz` + binary `final.mdl` written by
+   `tpukaldi.io.transition_model.write_transition_model`).
+2. `make_stub_bin_dir` ships the Kaldi executables the reference shells out
+   to (`copy-feats`/`apply-cmvn`/`add-deltas`/`ali-to-pdf`/... —
+   reference data_io.py:39-51) as thin CLIs over tpukaldi's own
+   golden-tested codecs, so the reference runs unmodified in an image with
+   no Kaldi.
+3. `write_parity_cfg` emits one experiment cfg in the shared INI dialect,
+   with only `arch_library` switched per side (`neural_networks` for the
+   reference torch zoo, `tpukaldi.models` for ours).
+4. `run_reference_experiment` executes the reference's own
+   `run_exp.py` (subprocess, torch CPU) end to end.
+5. `import_final_checkpoints` converts the reference's trained
+   `final_<arch>.pkl` into native ckpts, so tpukaldi's production-mode
+   forward runs with bit-identical weights.
+6. `compare_posterior_arks` reports the per-utterance max-abs-diff.
+
+Used by tests/test_posterior_parity.py; also a user-facing migration check:
+
+    python -m tpukaldi.compat.ref_harness /tmp/parity --arch MLP
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from dataclasses import dataclass
+from typing import Dict, Iterable, List, Tuple
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REFERENCE_DIR = os.environ.get("TPUKALDI_REFERENCE_DIR", "/root/reference")
+
+# ---------------------------------------------------------------------------
+# corpus synthesis (reference-consumable: real ali.gz + final.mdl)
+# ---------------------------------------------------------------------------
+
+
+def _make_transition_model(n_phones: int):
+    """3-state Bakis HMM per phone, one pdf per state (n_pdfs = 3*n_phones),
+    in the layout `write_transition_model` serializes."""
+    from ..io.transition_model import HmmState, TransitionModel
+
+    entry = [
+        HmmState(0, 0, [(0, 0.5), (1, 0.5)]),
+        HmmState(1, 1, [(1, 0.5), (2, 0.5)]),
+        HmmState(2, 2, [(2, 0.5), (3, 0.5)]),
+    ]
+    phones = list(range(1, n_phones + 1))
+    tuples = []
+    pdf = 0
+    for p in phones:
+        for state in range(3):
+            tuples.append((p, state, pdf, pdf))
+            pdf += 1
+    id2pdf = [0]
+    id2phone = [0]
+    for phone, state, fwd, selfp in tuples:
+        for nxt, _ in entry[state].transitions:
+            id2pdf.append(selfp if nxt == state else fwd)
+            id2phone.append(phone)
+    return TransitionModel(
+        phones=phones,
+        topology={p: entry for p in phones},
+        tuples=tuples,
+        id2pdf=np.asarray(id2pdf),
+        id2phone=np.asarray(id2phone),
+    )
+
+
+@dataclass
+class ParityTree:
+    root: str
+    n_pdfs: int
+    feat_dim: int
+    counts_file: str
+    splits: Tuple[str, ...]
+
+    def scp(self, split: str) -> str:
+        return os.path.join(self.root, "data", split, "feats_mfcc.scp")
+
+    def utt2spk(self, split: str) -> str:
+        return os.path.join(self.root, "data", split, "utt2spk")
+
+    def cmvn(self, split: str) -> str:
+        return os.path.join(self.root, "mfcc", f"cmvn_{split}.ark")
+
+    def alidir(self, split: str) -> str:
+        return os.path.join(self.root, "exp", f"ali_{split}")
+
+
+def build_parity_tree(
+    root: str,
+    n_phones: int = 3,
+    feat_dim: int = 13,
+    n_utts=(12, 4, 6),
+    min_len: int = 40,
+    max_len: int = 120,
+    seed: int = 1234,
+    splits=("train", "dev", "test"),
+) -> ParityTree:
+    import gzip
+
+    from ..io import ArkScpWriter, compute_cmvn_stats, save_counts, write_mat
+    from ..io import kaldi_io as kio
+    from ..io.transition_model import write_transition_model
+
+    tm = _make_transition_model(n_phones)
+    n_pdfs = 3 * n_phones
+    # one representative transition-id per pdf (its self-loop): frame-level
+    # alignments of these ids map back to the pdf through ali-to-pdf
+    pdf2tid = {}
+    for tid, pdf in enumerate(np.asarray(tm.id2pdf)[1:], start=1):
+        pdf2tid.setdefault(int(pdf), tid)
+
+    rng = np.random.default_rng(seed)
+    means = rng.standard_normal((n_pdfs, feat_dim)) * 2.0
+    counts = np.zeros(n_pdfs)
+    os.makedirs(root, exist_ok=True)
+    for split, n in zip(splits, n_utts):
+        d = os.path.join(root, "data", split)
+        ali = os.path.join(root, "exp", f"ali_{split}")
+        os.makedirs(d, exist_ok=True)
+        os.makedirs(ali, exist_ok=True)
+        os.makedirs(os.path.join(root, "mfcc"), exist_ok=True)
+        write_transition_model(tm, os.path.join(ali, "final.mdl"))
+        cmvn: Dict[str, np.ndarray] = {}
+        with ArkScpWriter(
+            os.path.join(d, "feats_mfcc.ark"), os.path.join(d, "feats_mfcc.scp")
+        ) as w, open(os.path.join(d, "utt2spk"), "w") as u2s, gzip.open(
+            os.path.join(ali, "ali.1.gz"), "wb"
+        ) as af:
+            for i in range(n):
+                T = int(rng.integers(min_len, max_len))
+                pdfs: List[int] = []
+                while len(pdfs) < T:
+                    pdfs.extend([int(rng.integers(0, n_pdfs))]
+                                * int(rng.integers(3, 12)))
+                pdfs_arr = np.asarray(pdfs[:T])
+                fea = means[pdfs_arr] + 0.5 * rng.standard_normal((T, feat_dim))
+                key = f"{split}spk{i % 2}_u{i:03d}"
+                spk = f"{split}spk{i % 2}"
+                w.write(key, fea.astype(np.float32))
+                u2s.write(f"{key} {spk}\n")
+                tids = np.asarray([pdf2tid[int(p)] for p in pdfs_arr])
+                kio.write_vec_int(af, tids, key=key)
+                cmvn[spk] = cmvn.get(spk, 0) + compute_cmvn_stats(fea)
+                if split == splits[0]:
+                    counts += np.bincount(pdfs_arr, minlength=n_pdfs)
+        with open(os.path.join(root, "mfcc", f"cmvn_{split}.ark"), "wb") as cf:
+            for spk, st in cmvn.items():
+                write_mat(cf, st, key=spk)
+    counts_file = os.path.join(root, "counts")
+    save_counts(np.maximum(counts, 1.0), counts_file)
+    return ParityTree(
+        root=root, n_pdfs=n_pdfs, feat_dim=feat_dim,
+        counts_file=counts_file, splits=tuple(splits),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaldi-binary stubs backed by tpukaldi codecs
+# ---------------------------------------------------------------------------
+
+STUB_NAMES = (
+    "copy-feats", "wav-copy", "apply-cmvn", "add-deltas",
+    "ali-to-pdf", "ali-to-phones", "hmm-info",
+)
+
+_STUB_TEMPLATE = """#!{python}
+import sys
+sys.path.insert(0, {repo!r})
+from tpukaldi.compat.ref_harness import stub_main
+sys.exit(stub_main({name!r}, sys.argv[1:]))
+"""
+
+
+def make_stub_bin_dir(dst: str) -> str:
+    """Write PATH-able stand-ins for the Kaldi binaries the reference
+    pipes through (data_io.py:39-51, cfg fea_opts).  Each is a tiny CLI
+    over the SAME tpukaldi codec/feature functions the native pipeline
+    uses, so both frameworks see bit-identical upstream data."""
+    os.makedirs(dst, exist_ok=True)
+    for name in STUB_NAMES:
+        path = os.path.join(dst, name)
+        with open(path, "w") as f:
+            f.write(_STUB_TEMPLATE.format(
+                python=sys.executable, repo=REPO, name=name))
+        os.chmod(path, 0o755)
+    return dst
+
+
+def _positional(argv: List[str]) -> List[str]:
+    return [a for a in argv if not a.startswith("--")]
+
+
+def _open_rspec(spec: str):
+    """Yield (key, mat) from an ark/scp rspecifier ('ark:-' = stdin)."""
+    from ..io import kaldi_io as kio
+
+    if spec.startswith("scp"):
+        return kio.read_mat_scp(spec.split(":", 1)[1])
+    path = spec.split(":", 1)[1] if ":" in spec else spec
+    return kio.read_mat_ark(sys.stdin.buffer if path == "-" else path)
+
+
+def _out_fd(spec: str):
+    path = spec.split(":", 1)[1] if ":" in spec else spec
+    return sys.stdout.buffer if path == "-" else open(path, "wb")
+
+
+def stub_main(name: str, argv: List[str]) -> int:
+    """Dispatch target for the generated stub executables."""
+    from ..io import kaldi_io as kio
+
+    pos = _positional(argv)
+    if name == "copy-feats":
+        src, dst = pos[0], pos[1]
+        out = _out_fd(dst)
+        for k, m in _open_rspec(src):
+            kio.write_mat(out, m, key=k)
+        out.flush()
+        return 0
+    if name == "wav-copy":
+        src, dst = pos[0], pos[1]
+        out = _out_fd(dst)
+        if src.startswith("scp"):
+            it = kio.read_vec_flt_scp(src.split(":", 1)[1])
+        else:
+            it = kio.read_vec_flt_ark(src.split(":", 1)[1])
+        for k, v in it:
+            kio.write_vec_flt(out, v, key=k)
+        out.flush()
+        return 0
+    if name in ("apply-cmvn", "add-deltas"):
+        from ..io import pipeline as pl
+
+        # reuse the native fea_opts stages verbatim: semantics and float
+        # behavior identical to tpukaldi's in-process path by construction
+        if name == "apply-cmvn":
+            # drop the trailing <in> <out> rspecifiers; what remains is
+            # --opts plus the cmvn-stats rspecifier _make_apply_cmvn wants
+            stage = pl._make_apply_cmvn(argv[:-2])
+        else:
+            stage = pl._make_add_deltas(argv)
+        out = _out_fd(pos[-1])
+        for k, m in _open_rspec(pos[-2]):
+            kio.write_mat(out, stage(k, m), key=k)
+        out.flush()
+        return 0
+    if name in ("ali-to-pdf", "ali-to-phones"):
+        from ..io.transition_model import read_transition_model
+
+        mdl, src, dst = pos[0], pos[1], pos[2]
+        tm = read_transition_model(mdl)
+        fn = (tm.transition_ids_to_pdfs if name == "ali-to-pdf"
+              else tm.transition_ids_to_phones)
+        src_path = src.split(":", 1)[1]
+        fd = sys.stdin.buffer if src_path == "-" else open(src_path, "rb")
+        out = _out_fd(dst)
+        for k, v in kio.read_vec_int_ark(fd):
+            kio.write_vec_int(out, fn(v), key=k)
+        out.flush()
+        return 0
+    if name == "hmm-info":
+        from ..io.transition_model import hmm_info
+
+        for k, v in hmm_info(pos[0]).items():
+            print(f"{k} {v}")
+        return 0
+    print(f"stub {name}: unsupported invocation {argv}", file=sys.stderr)
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# shared-dialect experiment cfg
+# ---------------------------------------------------------------------------
+
+_MLP_ARCH = """[architecture1]
+arch_name = MLP_layers1
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = none
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = 24,24,{n_pdfs}
+dnn_drop = 0.0,0.0,0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = True,True,False
+dnn_use_laynorm = False,False,False
+dnn_act = relu,relu,softmax
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+"""
+
+_LIGRU_ARCH = """[architecture1]
+arch_name = liGRU_layers
+arch_proto = proto/liGRU.proto
+arch_library = {library}
+arch_class = liGRU
+arch_pretrain_file = none
+arch_freeze = False
+arch_seq_model = True
+ligru_lay = 16,16
+ligru_drop = 0.0,0.0
+ligru_use_laynorm_inp = False
+ligru_use_batchnorm_inp = False
+ligru_use_laynorm = False,False
+ligru_use_batchnorm = True,True
+ligru_bidir = True
+ligru_act = relu,relu
+ligru_orthinit = True
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture2]
+arch_name = MLP_softmax
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = none
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = {n_pdfs}
+dnn_drop = 0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = False
+dnn_use_laynorm = False
+dnn_act = softmax
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+"""
+
+_MODEL = {
+    "MLP": (
+        "out_dnn1=compute(MLP_layers1,mfcc)\n"
+        "\tloss_final=cost_nll(out_dnn1,lab_cd)\n"
+        "\terr_final=cost_err(out_dnn1,lab_cd)",
+        "out_dnn1",
+    ),
+    "liGRU": (
+        "out_dnn1=compute(liGRU_layers,mfcc)\n"
+        "\tout_dnn2=compute(MLP_softmax,out_dnn1)\n"
+        "\tloss_final=cost_nll(out_dnn2,lab_cd)\n"
+        "\terr_final=cost_err(out_dnn2,lab_cd)",
+        "out_dnn2",
+    ),
+}
+
+_DATASET = """[dataset{idx}]
+data_name = {name}
+fea = fea_name=mfcc
+\tfea_lst={scp}
+\tfea_opts=apply-cmvn --utt2spk=ark:{u2s} ark:{cmvn} ark:- ark:- | add-deltas --delta-order=2 ark:- ark:- |
+\tcw_left={cw}
+\tcw_right={cw}
+
+lab = {lab_block}
+
+n_chunks = 1
+"""
+
+_LAB_BLOCK = """lab_name=lab_cd
+\tlab_folder={alidir}
+\tlab_opts=ali-to-pdf
+\tlab_count_file={counts}
+\tlab_data_folder={datadir}
+\tlab_graph=none"""
+
+_PROD_LAB_BLOCK = """lab_name=none
+\tlab_data_folder={datadir}
+\tlab_graph=none"""
+
+_CFG_TEMPLATE = """[cfg_proto]
+cfg_proto = proto/global.proto
+cfg_proto_chunk = proto/global_chunk.proto
+
+[exp]
+cmd =
+run_nn_script = {run_nn_script}
+out_folder = {out_folder}
+seed = {seed}
+use_cuda = False
+multi_gpu = False
+save_gpumem = False
+n_epochs_tr = {n_epochs}
+
+{datasets}
+[data_use]
+train_with = parity_tr
+valid_with = parity_dev
+forward_with = {forward_with}
+
+[batches]
+batch_size_train = {batch_size}
+max_seq_length_train = 1000
+increase_seq_length_train = False
+start_seq_len_train = 100
+multply_factor_seq_len_train = 2
+batch_size_valid = {batch_size}
+max_seq_length_valid = 1000
+
+{arch_sections}
+[model]
+model_proto = proto/model.proto
+model = {model}
+
+[forward]
+forward_out = {forward_out}
+normalize_posteriors = True
+normalize_with_counts_from = {counts}
+save_out_file = True
+require_decoding = False
+
+[decoding]
+decoding_script_folder = kaldi_decoding_scripts/
+decoding_script = decode_dnn.sh
+decoding_proto = proto/decoding.proto
+min_active = 200
+max_active = 7000
+max_mem = 50000000
+beam = 13.0
+latbeam = 8.0
+acwt = 0.2
+max_arcs = -1
+skip_scoring = false
+scoring_script = local/score.sh
+scoring_opts = "--min-lmwt 1 --max-lmwt 10"
+norm_vars = False
+"""
+
+
+def write_parity_cfg(
+    tree: ParityTree,
+    out_folder: str,
+    cfg_path: str,
+    side: str,
+    arch: str = "MLP",
+    n_epochs: int = 1,
+    batch_size: int = 4,
+    cw: int = 2,
+    lr: float = 0.08,
+    seed: int = 2234,
+    production: bool = False,
+    run_nn_script: str = "run_nn",
+) -> str:
+    """One experiment cfg in the shared INI dialect.  `side` picks the
+    model zoo: 'reference' -> torch `neural_networks`, 'tpukaldi' -> flax
+    `tpukaldi.models`.  `production=True` adds a label-free forward set
+    (posterior emission from pre-seeded final checkpoints)."""
+    library = "neural_networks" if side == "reference" else "tpukaldi.models"
+    arch_sections = (_MLP_ARCH if arch == "MLP" else _LIGRU_ARCH).format(
+        library=library, n_pdfs=tree.n_pdfs, lr=lr
+    )
+    model, forward_out = _MODEL[arch]
+    datasets = []
+    for idx, (name, split) in enumerate(
+        (("parity_tr", "train"), ("parity_dev", "dev"), ("parity_te", "test")),
+        start=1,
+    ):
+        lab_block = _LAB_BLOCK.format(
+            alidir=tree.alidir(split), counts=tree.counts_file,
+            datadir=os.path.join(tree.root, "data", split),
+        )
+        datasets.append(_DATASET.format(
+            idx=idx, name=name, scp=tree.scp(split),
+            u2s=tree.utt2spk(split), cmvn=tree.cmvn(split),
+            cw=cw, lab_block=lab_block,
+        ))
+    forward_with = "parity_te"
+    if production:
+        datasets.append(_DATASET.format(
+            idx=4, name="parity_prod", scp=tree.scp("test"),
+            u2s=tree.utt2spk("test"), cmvn=tree.cmvn("test"), cw=cw,
+            lab_block=_PROD_LAB_BLOCK.format(
+                datadir=os.path.join(tree.root, "data", "test")),
+        ))
+        forward_with = "parity_prod"
+    cfg = _CFG_TEMPLATE.format(
+        out_folder=out_folder, seed=seed, n_epochs=n_epochs,
+        datasets="\n".join(datasets), forward_with=forward_with,
+        batch_size=batch_size, arch_sections=arch_sections, model=model,
+        forward_out=forward_out, counts=tree.counts_file,
+        run_nn_script=run_nn_script,
+    )
+    os.makedirs(os.path.dirname(cfg_path), exist_ok=True)
+    with open(cfg_path, "w") as f:
+        f.write(cfg)
+    return cfg_path
+
+
+# ---------------------------------------------------------------------------
+# running the reference + importing its weights
+# ---------------------------------------------------------------------------
+
+
+def _reference_env(stub_dir: str) -> Dict[str, str]:
+    env = dict(os.environ)
+    env["PATH"] = stub_dir + os.pathsep + env.get("PATH", "")
+    env["MPLBACKEND"] = "Agg"
+    env.setdefault("OMP_NUM_THREADS", "2")
+    return env
+
+
+def run_reference_experiment(
+    cfg_path: str, stub_dir: str, timeout: int = 900
+) -> subprocess.CompletedProcess:
+    """Execute the reference's own run_exp.py (torch CPU) with the Kaldi
+    stubs on PATH.  cwd is the read-only reference tree so its relative
+    proto/ paths resolve; every write goes to the cfg's absolute
+    out_folder."""
+    return subprocess.run(
+        [sys.executable, os.path.join(REFERENCE_DIR, "run_exp.py"), cfg_path],
+        cwd=REFERENCE_DIR, env=_reference_env(stub_dir), timeout=timeout,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+
+
+# Drives ONE chunk through the reference's canonical chunk runtime
+# `core.run_nn` (core.py:438-671) — the exact composition the parity
+# contract cites: chunk load -> splice -> per-chunk CMVN -> whole-utterance
+# batch-1 forward -> out - log(counts/sum) -> write_mat ark.  run_exp.py's
+# own CPU forward route cannot be used: it hard-codes the refac01 loader
+# (run_exp.py:35) whose labeled-forward path crashes upstream (empty
+# lab_dict -> data_set None) and whose non-sequential forward hits an
+# UnboundLocalError (core.py:224 max_len_fea).  next_config_file is the
+# same chunk (run_nn unconditionally prefetches a next chunk).
+_RUN_NN_DRIVER = """import sys
+sys.path.insert(0, sys.argv[2])
+from core import run_nn
+run_nn([], [], [], {}, {}, {}, sys.argv[1], True, sys.argv[1])
+"""
+
+
+def run_reference_forward_chunk(
+    chunk_cfg: str, stub_dir: str, timeout: int = 600
+) -> subprocess.CompletedProcess:
+    """Run the reference's `core.run_nn` on one (forward) chunk cfg."""
+    return subprocess.run(
+        [sys.executable, "-c", _RUN_NN_DRIVER, chunk_cfg, REFERENCE_DIR],
+        cwd=REFERENCE_DIR, env=_reference_env(stub_dir), timeout=timeout,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+
+
+# (reference section, tpukaldi arch name, model class) per parity cfg;
+# the reference keys its final pkls by SECTION (run_exp.py:411-414),
+# tpukaldi by arch_name (plan/planner.py final_ckpts)
+ARCH_CLASSES = {
+    "MLP": (("architecture1", "MLP_layers1", "MLP"),),
+    "liGRU": (
+        ("architecture1", "liGRU_layers", "liGRU"),
+        ("architecture2", "MLP_softmax", "MLP"),
+    ),
+}
+
+
+def import_final_checkpoints(
+    ref_out: str, tpu_out: str, arch: str
+) -> Dict[str, str]:
+    """Convert the reference run's final_<section>.pkl weights into the
+    final_<arch_name>.ckpt files tpukaldi production mode consumes."""
+    from .torch_import import convert_checkpoint_file
+
+    os.makedirs(os.path.join(tpu_out, "exp_files"), exist_ok=True)
+    out = {}
+    for section, arch_name, class_name in ARCH_CLASSES[arch]:
+        pkl = os.path.join(ref_out, "exp_files", f"final_{section}.pkl")
+        ckpt = os.path.join(tpu_out, "exp_files", f"final_{arch_name}.ckpt")
+        convert_checkpoint_file(pkl, ckpt, class_name)
+        out[arch_name] = ckpt
+    return out
+
+
+def compare_posterior_arks(
+    ark_a: str, ark_b: str
+) -> Tuple[float, Dict[str, float]]:
+    """Key-matched per-utterance max-abs-diff between two posterior arks
+    (utterance order differs between pipelines; keys must not)."""
+    from ..io import read_mat_ark
+
+    a = dict(read_mat_ark(ark_a))
+    b = dict(read_mat_ark(ark_b))
+    if set(a) != set(b):
+        raise AssertionError(
+            f"utterance sets differ: only-a={sorted(set(a) - set(b))} "
+            f"only-b={sorted(set(b) - set(a))}"
+        )
+    per_utt = {}
+    for k in a:
+        if a[k].shape != b[k].shape:
+            raise AssertionError(
+                f"{k}: shape {a[k].shape} vs {b[k].shape}")
+        per_utt[k] = float(np.abs(a[k] - b[k]).max())
+    return max(per_utt.values()), per_utt
+
+
+def find_forward_ark(out_folder: str, forward_out: str) -> str:
+    ef = os.path.join(out_folder, "exp_files")
+    hits = sorted(
+        f for f in os.listdir(ef)
+        if f.startswith("forward_") and f.endswith(f"_{forward_out}.ark")
+    )
+    if not hits:
+        raise FileNotFoundError(
+            f"no forward_*_{forward_out}.ark in {ef}: {sorted(os.listdir(ef))}")
+    return os.path.join(ef, hits[-1])
+
+
+# ---------------------------------------------------------------------------
+# one-call drives
+# ---------------------------------------------------------------------------
+
+
+def run_posterior_parity(
+    workdir: str, arch: str = "MLP", seed: int = 1234
+) -> Tuple[float, Dict[str, float]]:
+    """Full measurement: reference train -> reference production forward ->
+    weight import -> tpukaldi production forward -> ark diff.  Returns
+    (max_abs, per_utt).
+
+    The reference driver run trains + validates; its forward stage is
+    expected to crash (run_exp.py's CPU forward route is broken upstream,
+    see `run_reference_forward_chunk`).  The forward chunk cfg the driver
+    materialized is then executed through the reference's canonical
+    `core.run_nn`, producing the posterior ark the contract diffs."""
+    import glob
+
+    tree = build_parity_tree(os.path.join(workdir, "tree"), seed=seed)
+    stubs = make_stub_bin_dir(os.path.join(workdir, "bin"))
+    ref_out = os.path.join(workdir, "ref_exp")
+    forward_out = _MODEL[arch][1]
+
+    train_cfg = write_parity_cfg(
+        tree, ref_out, os.path.join(workdir, "ref_train.cfg"), "reference",
+        arch=arch,
+    )
+    proc = run_reference_experiment(train_cfg, stubs)
+    final_pkl = os.path.join(
+        ref_out, "exp_files", f"final_{ARCH_CLASSES[arch][0][0]}.pkl")
+    if not os.path.exists(final_pkl):
+        raise RuntimeError(
+            f"reference training produced no {final_pkl} (rc="
+            f"{proc.returncode}):\n{proc.stdout.decode()[-3000:]}"
+        )
+    chunk_cfgs = sorted(glob.glob(
+        os.path.join(ref_out, "exp_files", "forward_parity_te_*.cfg")))
+    assert chunk_cfgs, os.listdir(os.path.join(ref_out, "exp_files"))
+    for chunk_cfg in chunk_cfgs:
+        proc = run_reference_forward_chunk(chunk_cfg, stubs)
+        info = chunk_cfg[:-4] + ".info"
+        if not os.path.exists(info):
+            raise RuntimeError(
+                f"reference run_nn forward failed (rc={proc.returncode}):\n"
+                f"{proc.stdout.decode()[-3000:]}"
+            )
+    ref_ark = find_forward_ark(ref_out, forward_out)
+
+    tpu_out = os.path.join(workdir, "tpu_exp")
+    import_final_checkpoints(ref_out, tpu_out, arch)
+    tpu_cfg = write_parity_cfg(
+        tree, tpu_out, os.path.join(workdir, "tpu.cfg"), "tpukaldi",
+        arch=arch, production=True,
+    )
+    from ..tools.run_exp import run_experiment
+
+    run_experiment(tpu_cfg)
+    tpu_ark = find_forward_ark(tpu_out, forward_out)
+    return compare_posterior_arks(ref_ark, tpu_ark)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("workdir")
+    ap.add_argument("--arch", default="MLP", choices=sorted(_MODEL))
+    ap.add_argument("--seed", type=int, default=1234)
+    args = ap.parse_args(argv)
+    max_abs, per_utt = run_posterior_parity(
+        args.workdir, arch=args.arch, seed=args.seed)
+    for k in sorted(per_utt):
+        print(f"{k} {per_utt[k]:.3e}")
+    print(f"max_abs_diff {max_abs:.3e}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
