@@ -111,6 +111,7 @@ def build_parity_tree(
     min_len: int = 40,
     max_len: int = 120,
     seed: int = 1234,
+    noise: float = 0.5,
     splits=("train", "dev", "test"),
 ) -> ParityTree:
     import gzip
@@ -151,7 +152,7 @@ def build_parity_tree(
                     pdfs.extend([int(rng.integers(0, n_pdfs))]
                                 * int(rng.integers(3, 12)))
                 pdfs_arr = np.asarray(pdfs[:T])
-                fea = means[pdfs_arr] + 0.5 * rng.standard_normal((T, feat_dim))
+                fea = means[pdfs_arr] + noise * rng.standard_normal((T, feat_dim))
                 key = f"{split}spk{i % 2}_u{i:03d}"
                 spk = f"{split}spk{i % 2}"
                 w.write(key, fea.astype(np.float32))
@@ -295,7 +296,7 @@ arch_name = MLP_layers1
 arch_proto = proto/MLP.proto
 arch_library = {library}
 arch_class = MLP
-arch_pretrain_file = none
+arch_pretrain_file = {pretrain1}
 arch_freeze = False
 arch_seq_model = False
 dnn_lay = 24,24,{n_pdfs}
@@ -320,7 +321,7 @@ arch_name = liGRU_layers
 arch_proto = proto/liGRU.proto
 arch_library = {library}
 arch_class = liGRU
-arch_pretrain_file = none
+arch_pretrain_file = {pretrain1}
 arch_freeze = False
 arch_seq_model = True
 ligru_lay = 16,16
@@ -346,7 +347,7 @@ arch_name = MLP_softmax
 arch_proto = proto/MLP.proto
 arch_library = {library}
 arch_class = MLP
-arch_pretrain_file = none
+arch_pretrain_file = {pretrain2}
 arch_freeze = False
 arch_seq_model = False
 dnn_lay = {n_pdfs}
@@ -478,14 +479,18 @@ def write_parity_cfg(
     seed: int = 2234,
     production: bool = False,
     run_nn_script: str = "run_nn",
+    pretrain: Tuple[str, str] = ("none", "none"),
 ) -> str:
     """One experiment cfg in the shared INI dialect.  `side` picks the
     model zoo: 'reference' -> torch `neural_networks`, 'tpukaldi' -> flax
     `tpukaldi.models`.  `production=True` adds a label-free forward set
-    (posterior emission from pre-seeded final checkpoints)."""
+    (posterior emission from pre-seeded final checkpoints).  `pretrain`
+    fills arch_pretrain_file per architecture section (common-init
+    trajectory comparisons)."""
     library = "neural_networks" if side == "reference" else "tpukaldi.models"
     arch_sections = (_MLP_ARCH if arch == "MLP" else _LIGRU_ARCH).format(
-        library=library, n_pdfs=tree.n_pdfs, lr=lr
+        library=library, n_pdfs=tree.n_pdfs, lr=lr,
+        pretrain1=pretrain[0], pretrain2=pretrain[1],
     )
     model, forward_out = _MODEL[arch]
     datasets = []
@@ -704,6 +709,113 @@ def run_posterior_parity(
     return compare_posterior_arks(ref_ark, tpu_ark)
 
 
+def parse_res_res(path: str) -> List[Dict[str, object]]:
+    """Parse epoch rows from a res.res file (both frameworks emit the same
+    line shape: `ep=N tr=[...] loss=.. err=.. valid=<set> loss=.. err=..
+    lr_<arch>=.. time(s)=..`, reference utils.py:2423-2476)."""
+    import re
+
+    rows: List[Dict[str, object]] = []
+    for line in open(path):
+        line = line.strip()
+        if not line.startswith("ep="):
+            continue
+        losses = re.findall(r"loss=([-\d.eE+]+)", line)
+        errs = re.findall(r"err=([-\d.eE+]+)", line)
+        lrs = re.findall(r"lr_[^=]+=([^\s]+)", line)
+        rows.append({
+            "train_loss": float(losses[0]),
+            "valid_loss": float(losses[1]),
+            "train_err": float(errs[0]),
+            "valid_err": float(errs[1]),
+            "lrs": tuple(float(v.split(",")[0]) for v in lrs),
+        })
+    return rows
+
+
+def run_trajectory_parity(
+    workdir: str,
+    arch: str = "MLP",
+    n_epochs: int = 3,
+    seed: int = 1234,
+    lr: float = 0.02,
+    batch_size: int = 8,
+    n_utts=(24, 8, 6),
+    noise: float = 1.6,
+) -> Tuple[List[Dict[str, object]], List[Dict[str, object]]]:
+    """Common-init training-trajectory comparison (VERDICT r2 #4).
+
+    An init-provider reference run produces weights W0 (1 epoch); then the
+    REFERENCE trains n_epochs from W0 (its own run_exp loop: seeded
+    shuffles, torch SGD, new-bob annealing, reference run_exp.py:374-384)
+    and TPUKALDI trains n_epochs from the converted W0 on the same corpus
+    and hyperparameters.  Returns (ref_rows, tpu_rows) parsed from the two
+    res.res files.  Exact step-level equality is impossible by design (the
+    frame-shuffle RNGs differ: reference np.random.shuffle/MT19937 vs
+    tpukaldi default_rng/PCG64), so callers assert epoch-level closeness
+    and identical annealing decisions, not bit equality.  The default
+    regime (lr 0.02, 24 train utts) keeps the valid-loss sequence far from
+    the new-bob threshold so the annealing decisions are comparable rather
+    than coin flips on a tiny corpus."""
+    tree = build_parity_tree(
+        os.path.join(workdir, "tree"), seed=seed, n_utts=n_utts, noise=noise)
+    stubs = make_stub_bin_dir(os.path.join(workdir, "bin"))
+
+    init_out = os.path.join(workdir, "ref_init")
+    init_cfg = write_parity_cfg(
+        tree, init_out, os.path.join(workdir, "ref_init.cfg"), "reference",
+        arch=arch, n_epochs=1, lr=lr, batch_size=batch_size,
+    )
+    proc = run_reference_experiment(init_cfg, stubs)
+    pretrain_pkls = []
+    for section, _, _ in ARCH_CLASSES[arch]:
+        pkl = os.path.join(init_out, "exp_files", f"final_{section}.pkl")
+        if not os.path.exists(pkl):
+            raise RuntimeError(
+                f"init run produced no {pkl} (rc={proc.returncode}):\n"
+                f"{proc.stdout.decode()[-3000:]}")
+        pretrain_pkls.append(pkl)
+    while len(pretrain_pkls) < 2:
+        pretrain_pkls.append("none")
+
+    ref_out = os.path.join(workdir, "ref_traj")
+    ref_cfg = write_parity_cfg(
+        tree, ref_out, os.path.join(workdir, "ref_traj.cfg"), "reference",
+        arch=arch, n_epochs=n_epochs, pretrain=tuple(pretrain_pkls),
+        lr=lr, batch_size=batch_size,
+    )
+    proc = run_reference_experiment(ref_cfg, stubs)
+    ref_res = os.path.join(ref_out, "res.res")
+    if not os.path.exists(ref_res):
+        raise RuntimeError(
+            f"reference trajectory run wrote no res.res (rc="
+            f"{proc.returncode}):\n{proc.stdout.decode()[-3000:]}")
+
+    tpu_out = os.path.join(workdir, "tpu_traj")
+    os.makedirs(os.path.join(tpu_out, "exp_files"), exist_ok=True)
+    from .torch_import import convert_checkpoint_file
+
+    ckpts = []
+    for section, arch_name, class_name in ARCH_CLASSES[arch]:
+        ckpt = os.path.join(tpu_out, "exp_files", f"init_{arch_name}.ckpt")
+        convert_checkpoint_file(
+            os.path.join(init_out, "exp_files", f"final_{section}.pkl"),
+            ckpt, class_name)
+        ckpts.append(ckpt)
+    while len(ckpts) < 2:
+        ckpts.append("none")
+    tpu_cfg = write_parity_cfg(
+        tree, tpu_out, os.path.join(workdir, "tpu_traj.cfg"), "tpukaldi",
+        arch=arch, n_epochs=n_epochs, pretrain=tuple(ckpts),
+        lr=lr, batch_size=batch_size,
+    )
+    from ..tools.run_exp import run_experiment
+
+    run_experiment(tpu_cfg)
+    return (parse_res_res(ref_res),
+            parse_res_res(os.path.join(tpu_out, "res.res")))
+
+
 def main(argv=None) -> int:
     import argparse
 
@@ -711,7 +823,16 @@ def main(argv=None) -> int:
     ap.add_argument("workdir")
     ap.add_argument("--arch", default="MLP", choices=sorted(_MODEL))
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--trajectory", action="store_true",
+                    help="run the training-trajectory comparison instead")
     args = ap.parse_args(argv)
+    if args.trajectory:
+        ref_rows, tpu_rows = run_trajectory_parity(
+            args.workdir, arch=args.arch, seed=args.seed)
+        for tag, rows in (("ref", ref_rows), ("tpu", tpu_rows)):
+            for i, r in enumerate(rows):
+                print(f"{tag} ep={i} {r}")
+        return 0
     max_abs, per_utt = run_posterior_parity(
         args.workdir, arch=args.arch, seed=args.seed)
     for k in sorted(per_utt):
