@@ -181,3 +181,82 @@ def test_bridge_falls_back_to_shipped_scripts(kaldi_env, tmp_path):
     assert "shipped" in open(log).read()
     best = harvest_wer(dec_dir)
     assert best is not None and best["wer"] == 18.4
+
+
+def test_latgen_argv_matches_reference(kaldi_env):
+    """The exact latgen-faster-mapped invocation must match the reference's
+    kaldi_decoding_scripts/decode_dnn.sh:84 argument sequence (flags, model,
+    fst, rspec, gzip wspecifier) so real Kaldi accepts it verbatim."""
+    env = kaldi_env
+    conf = _conf(env, env["tmp"] / "argv.conf")
+    out = env["tmp"] / "dec_argv"
+    r = subprocess.run(
+        [os.path.join(SCRIPTS, "decode_dnn.sh"), conf, str(out),
+         env["arks"][0]],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    latgen_calls = [
+        line for line in
+        (env["tmp"] / "stub_calls.log").read_text().splitlines()
+        if "--allow-partial" in line
+    ]
+    assert len(latgen_calls) == 1
+    argv = latgen_calls[0].split()
+    assert argv[:8] == [
+        "--min-active=200", "--max-active=7000", "--max-mem=50000000",
+        "--beam=13.0", "--lattice-beam=8.0", "--acoustic-scale=0.2",
+        "--allow-partial=true",
+        f"--word-symbol-table={env['graph']}/words.txt",
+    ]
+    assert argv[8] == f"{env['alidir']}/final.mdl"
+    assert argv[9] == f"{env['graph']}/HCLG.fst"
+    # positional 10: the posterior rspec; positional 11+: gzip wspecifier
+    assert " ".join(argv[10:]).startswith("ark,s,cs:")
+    assert f"gzip -c > {out}/lat.1.gz" in latgen_calls[0]
+
+
+def test_conf_key_whitelist(kaldi_env):
+    """A hostile/stray conf key (e.g. `dir`, `arks`, `PATH`) must not
+    clobber script state (advisor r2: the reference's source-based conf
+    loader had this flaw)."""
+    env = kaldi_env
+    conf = _conf(
+        env, env["tmp"] / "evil.conf",
+        f"dir = /nonexistent\narks = bogus\nPATH = /nowhere\n"
+        "threads = 4\n",
+    )
+    out = env["tmp"] / "dec_evil"
+    r = subprocess.run(
+        [os.path.join(SCRIPTS, "decode_dnn.sh"), conf, str(out),
+         env["arks"][0]],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert (out / "lat.1.gz").exists()  # wrote into $2, not conf's `dir`
+
+
+def test_score_wer_drops_stale_wer_files(kaldi_env):
+    """Re-scoring into the same decode dir (run_exp re-decodes on restart)
+    must not leave stale wer_<lmwt> files from a previous sweep visible to
+    the harvest (advisor r2)."""
+    env = kaldi_env
+    conf = _conf(env, env["tmp"] / "stale.conf")
+    out = env["tmp"] / "dec_stale"
+    r = subprocess.run(
+        [os.path.join(SCRIPTS, "decode_dnn.sh"), conf, str(out),
+         env["arks"][0]],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    # plant a stale out-of-sweep wer file, then re-run scoring
+    (out / "wer_9").write_text("%WER 1.00 [ 1 / 100, 0 ins, 0 del, 1 sub ]\n")
+    r = subprocess.run(
+        [os.path.join(SCRIPTS, "score_wer.sh"), "--min-lmwt", "2",
+         "--max-lmwt", "4", str(env["data"]), str(env["graph"]), str(out)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert not (out / "wer_9").exists()
+    best = harvest_wer(str(out))
+    assert best["wer"] == 18.4  # not the stale 1.00
