@@ -26,7 +26,7 @@ def test_full_mlp_experiment(corpus, tmp_path_factory):
     exp = run_experiment(cfg)
 
     # res.res has one line per epoch in the reference format
-    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    lines = [l for l in open(os.path.join(out, "res.res")).read().strip().splitlines() if not l.startswith("phases ")]
     assert len(lines) == 3
     assert lines[0].startswith("ep=0 tr=")
     assert "valid=synth_dev" in lines[0]
@@ -61,7 +61,7 @@ def test_full_ligru_experiment_mesh(corpus, tmp_path_factory):
     cfg = write_cfg(corpus, out, arch="liGRU", hidden=16, n_epochs=1,
                     n_chunks=1, batch_size=2, lr=0.2)
     run_experiment(cfg, use_mesh=True)
-    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    lines = [l for l in open(os.path.join(out, "res.res")).read().strip().splitlines() if not l.startswith("phases ")]
     assert len(lines) == 1
     ef = os.path.join(out, "exp_files")
     arks = [f for f in os.listdir(ef) if f.endswith("_to_decode.ark")]
@@ -117,7 +117,7 @@ def test_other_arch_experiments(arch, hidden, corpus, tmp_path_factory):
         cfg = write_cfg(corpus, out, arch=arch, hidden=hidden, n_epochs=1,
                         n_chunks=1, batch_size=2, lr=0.1)
     run_experiment(cfg)
-    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    lines = [l for l in open(os.path.join(out, "res.res")).read().strip().splitlines() if not l.startswith("phases ")]
     assert len(lines) == 1
     ef = os.path.join(out, "exp_files")
     arks = [f for f in os.listdir(ef) if f.endswith("_to_decode.ark")]
@@ -182,7 +182,7 @@ def test_mid_run_crash_resume_matches_uninterrupted(corpus, tmp_path_factory,
                 run_experiment(cfg)
             monkeypatch.setattr(ChunkRuntime, "run_task", real)
         run_experiment(cfg)
-        lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+        lines = [l for l in open(os.path.join(out, "res.res")).read().strip().splitlines() if not l.startswith("phases ")]
         return [re.sub(r"time\(s\)=\d+", "", l) for l in lines]
 
     control = run(str(tmp_path_factory.mktemp("ctl")))
@@ -202,7 +202,7 @@ def test_crash_after_last_info_before_ckpt_flush_replays(corpus,
     import re
 
     def res_lines(out):
-        lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+        lines = [l for l in open(os.path.join(out, "res.res")).read().strip().splitlines() if not l.startswith("phases ")]
         return [re.sub(r"time\(s\)=\d+", "", l) for l in lines]
 
     control = str(tmp_path_factory.mktemp("cw_ctl"))
@@ -277,7 +277,7 @@ def test_ckpt_cadence_matches_per_chunk(corpus, tmp_path_factory, monkeypatch):
         cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=2,
                         n_chunks=4, batch_size=32, lr=0.2)
         run_experiment(cfg)
-        lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+        lines = [l for l in open(os.path.join(out, "res.res")).read().strip().splitlines() if not l.startswith("phases ")]
         return [re.sub(r"time\(s\)=\d+", "", l) for l in lines]
 
     out_ctl = str(tmp_path_factory.mktemp("cad_ctl"))
@@ -335,7 +335,7 @@ def test_ckpt_cadence_crash_resume_replays(corpus, tmp_path_factory,
                      if f.startswith("train") and f.endswith(".ckpt")]
             assert infos and not ckpts
         run_experiment(cfg)
-        lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+        lines = [l for l in open(os.path.join(out, "res.res")).read().strip().splitlines() if not l.startswith("phases ")]
         return [re.sub(r"time\(s\)=\d+", "", l) for l in lines]
 
     control = run(str(tmp_path_factory.mktemp("cadctl")))
@@ -356,7 +356,7 @@ def test_multistep_fusion_reproduces_unfused(corpus, tmp_path_factory,
         cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=2,
                         n_chunks=2, batch_size=16, lr=0.2)
         run_experiment(cfg)
-        lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+        lines = [l for l in open(os.path.join(out, "res.res")).read().strip().splitlines() if not l.startswith("phases ")]
         return [re.sub(r"time\(s\)=\d+", "", l) for l in lines]
 
     unfused = run(str(tmp_path_factory.mktemp("k1")), 1)

@@ -133,7 +133,7 @@ def test_autoencoder(corpus, tmp_path_factory):
     ae_cfg = os.path.join(out, "ae.cfg")
     open(ae_cfg, "w").write(text)
     run_experiment(ae_cfg)
-    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    lines = [l for l in open(os.path.join(out, "res.res")).read().strip().splitlines() if not l.startswith("phases ")]
     losses = [float(re.search(r"loss=(\d+\.\d+)", l).group(1)) for l in lines]
     assert losses[-1] < losses[0]  # reconstruction improves
     ef = os.path.join(out, "exp_files")
@@ -207,7 +207,7 @@ def test_joint_loss_two_labels(corpus, tmp_path_factory):
     exp = run_experiment(joint_cfg)
     # mono label stream resolved: N_out_lab_mono = 5
     assert exp.archs["MLP_mono"].options["dnn_lay"] == "5"
-    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    lines = [l for l in open(os.path.join(out, "res.res")).read().strip().splitlines() if not l.startswith("phases ")]
     errs = [float(re.search(r"err=(\d+\.\d+)", l).group(1)) for l in lines]
     assert errs[-1] <= errs[0]
 

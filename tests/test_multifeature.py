@@ -81,7 +81,7 @@ def test_multi_stream_experiment(corpus2, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("mf_exp"))
     cfg = _two_stream_cfg(corpus2, out)
     run_experiment(cfg)
-    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    lines = [l for l in open(os.path.join(out, "res.res")).read().strip().splitlines() if not l.startswith("phases ")]
     losses = [float(re.search(r"valid=\S+ loss=(\d+\.\d+)", l).group(1))
               for l in lines]
     assert losses[-1] < losses[0]

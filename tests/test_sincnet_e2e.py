@@ -87,7 +87,7 @@ def test_sincnet_raw_experiment(raw_corpus, tmp_path_factory):
     )
     open(cfg, "w").write(text)
     run_experiment(cfg)
-    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    lines = [l for l in open(os.path.join(out, "res.res")).read().strip().splitlines() if not l.startswith("phases ")]
     assert len(lines) == 2
     errs = [float(re.search(r"valid=\S+ loss=\S+ err=(\d+\.\d+)", l).group(1))
             for l in lines]

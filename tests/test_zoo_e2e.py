@@ -71,7 +71,7 @@ def test_scheduled_dropout_applied_at_runtime(corpus, tmp_path_factory):
             "dnn_drop = 0.1,0.0", f"dnn_drop = {drop_spec},0.0")
         open(cfg, "w").write(text)
         run_experiment(cfg)
-        lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+        lines = [l for l in open(os.path.join(out, "res.res")).read().strip().splitlines() if not l.startswith("phases ")]
         return [float(re.search(r"err=(\d+\.\d+)", l).group(1)) for l in lines]
 
     scheduled = run("0.85*1|0.0*1", "dsched")

@@ -205,7 +205,12 @@ def _run_experiment(
                 return
         feeder_state["for_task"] = None
 
+    # un-overlapped host-side chunk wait per epoch (prefetch hits cost ~0;
+    # misses and take()-blocking show up here) — VERDICT r2 #2 observability
+    host_load = {"s": 0.0}
+
     def get_chunk(task):
+        t0 = time.perf_counter()
         idx = schedule_index[id(task)]
         pf = feeder_state["prefetcher"]
         chunk = None
@@ -216,13 +221,16 @@ def _run_experiment(
         if chunk is None:
             chunk = runtime.load_task_chunk(task, _task_msl(task))
         _start_prefetch(idx)
+        host_load["s"] += time.perf_counter() - t0
         return chunk
 
     # ---------------- training ----------------
     for ep_plan in plan.epochs:
         ep = ep_plan.epoch
         t_ep = time.time()
+        host_load["s"] = 0.0
         tr_results: List[ChunkResult] = []
+        ep_valid_results: List[ChunkResult] = []
         valid_perf: Dict[str, ChunkResult] = {}
         batch_size = exp.batches.batch_size_train[ep]
         msl = exp.batches.seq_length_for_epoch(ep)
@@ -286,13 +294,36 @@ def _run_experiment(
             else:
                 pending_valid.append(res)
                 valid_names.append(task.dataset)
+                ep_valid_results.append(res)
         flush_valid_point()
 
         tr_loss, tr_err, tr_time = _aggregate(tr_results)
+        epoch_wall = time.time() - t_ep
         dump_epoch_results(
             res_file, ep, exp.n_epochs, exp.train_with, tr_loss, tr_err,
-            valid_perf, lr, time.time() - t_ep,
+            valid_perf, lr, epoch_wall,
         )
+        # per-phase breakdown line (skipped by "ep="-prefixed parsers):
+        # where the epoch's wall time actually went, split into the chunk
+        # runtime's internal phases plus host load and driver residue
+        def _sum_phase(results, key):
+            return sum((r.phases or {}).get(key, 0.0) for r in results)
+
+        valid_wall = sum(r.elapsed for r in ep_valid_results)
+        accounted = tr_time + valid_wall + host_load["s"]
+        with open(res_file, "a") as rf:
+            rf.write(
+                f"phases ep={ep}"
+                f" host_load={host_load['s']:.2f}"
+                f" train_wall={tr_time:.2f}"
+                f" valid_wall={valid_wall:.2f}"
+                + "".join(
+                    f" {k}={_sum_phase(tr_results + ep_valid_results, k):.2f}"
+                    for k in ("h2d", "dispatch", "drain", "ckpt_block")
+                )
+                + f" driver_other={max(epoch_wall - accounted, 0.0):.2f}"
+                f" epoch_wall={epoch_wall:.2f}\n"
+            )
 
     # training curves (reference utils.py:2495-2614)
     if plan.epochs:

@@ -46,6 +46,12 @@ class ChunkResult:
     elapsed: float
     n_batches: int
     frames: int = 0  # device-processed frames (incl. padding)
+    # per-phase seconds inside the chunk (VERDICT r2 #2 observability):
+    # h2d = host batch assembly + device transfer, dispatch = jitted step
+    # call latency (async; device work continues after return), drain =
+    # end-of-chunk device sync (where queued compute actually completes),
+    # ckpt_block = blocking part of the async checkpoint handoff
+    phases: Optional[Dict[str, float]] = None
 
     @property
     def frames_per_sec(self) -> float:
@@ -64,6 +70,9 @@ def write_info(path: str, result: Optional[ChunkResult]) -> None:
             # frames/sec/chip is the north-star perf metric (SURVEY.md §5.1)
             f.write(f"frames={result.frames}\n")
             f.write(f"frames_per_sec={result.frames_per_sec:.1f}\n")
+        if result is not None and result.phases:
+            for k, v in result.phases.items():
+                f.write(f"phase_{k}={v:.3f}\n")
 
 
 def read_info(path: str) -> Dict[str, float]:
@@ -288,6 +297,8 @@ class ChunkRuntime:
         train = task.phase == "train"
         n, frames = 0, 0
         losses, errs = [], []  # device scalars; converted once at chunk end
+        tick = time.perf_counter
+        t_h2d = t_disp = 0.0
         # per-batch dropout keys are fold_in(chunk_key, batch_index) — a
         # pure function of (task.seed, batch index), so K-step fusion is
         # bit-transparent (the fused path uses the same keys the unfused
@@ -329,6 +340,7 @@ class ChunkRuntime:
             if K > 1 and len(window) >= K and _stackable(window[:K]):
                 group = window[:K]
                 del window[:K]
+                t0 = tick()
                 feats_k = jax.numpy.asarray(
                     np.stack([b.feats for b in group])
                 )
@@ -337,6 +349,8 @@ class ChunkRuntime:
                     [b.n_valid_t or b.feats.shape[0] for b in group],
                     dtype=jax.numpy.int32,
                 ) if self.seq_model else None
+                t_h2d += tick() - t0
+                t0 = tick()
                 if train:
                     rngs_k = jax.vmap(
                         lambda j: jax.random.fold_in(chunk_key, j)
@@ -351,6 +365,7 @@ class ChunkRuntime:
                         self.params, self.batch_stats, feats_k, labs_k,
                         n_valid_k,
                     )
+                t_disp += tick() - t0
                 losses.append(loss_k)
                 errs.append(err_k)
                 n += K
@@ -369,6 +384,7 @@ class ChunkRuntime:
             batch_index = i
             i += 1
             refill()
+            t0 = tick()
             feats = jax.numpy.asarray(batch.feats)
             labs = jax.numpy.asarray(batch.labs)
             n_valid = (
@@ -384,6 +400,8 @@ class ChunkRuntime:
                 if feats.ndim == 3
                 else feats.shape[0]
             )
+            t_h2d += tick() - t0
+            t0 = tick()
             if train:
                 (self.params, self.batch_stats, self.opt_states, loss, err
                  ) = self._train_step(
@@ -395,6 +413,7 @@ class ChunkRuntime:
                 loss, err = self._eval_step(
                     self.params, self.batch_stats, feats, labs, n_valid
                 )
+            t_disp += tick() - t0
             # keep loss/err as device scalars: a float() here would force a
             # host sync every step and serialize dispatch latency; deferring
             # lets XLA pipeline many steps in flight
@@ -411,16 +430,22 @@ class ChunkRuntime:
                 print(f"\r{status}", end="", flush=True)
         if show_progress and n:
             print()
+        t0 = tick()
         loss_sum = sum(float(np.sum(x)) for x in jax.device_get(losses))
         err_sum = sum(float(np.sum(x)) for x in jax.device_get(errs))
+        t_drain = tick() - t0
+        t0 = tick()
         if train:
             # async: serialize+write overlaps the next chunk's training
             self.checkpointer.save_all_async(
                 task.ckpt_files, self.params, self.opt_states, self.batch_stats
             )
             self.mark_saved(task.ckpt_files)
+        t_ckpt = tick() - t0
         return ChunkResult(
-            loss_sum / max(n, 1), err_sum / max(n, 1), 0.0, n, frames
+            loss_sum / max(n, 1), err_sum / max(n, 1), 0.0, n, frames,
+            phases={"h2d": t_h2d, "dispatch": t_disp, "drain": t_drain,
+                    "ckpt_block": t_ckpt},
         )
 
     def _run_forward(self, task, chunk) -> ChunkResult:
@@ -441,40 +466,64 @@ class ChunkRuntime:
         fwd_bs = int(_os.environ.get("TPUKALDI_FORWARD_BATCH", "8"))
         if chunk.rates_differ:
             fwd_bs = 1
+        tick = time.perf_counter
+        t_h2d = t_disp = t_write = 0.0
+
+        def _out_lengths(lengths):
+            # the in-graph lengths drive bidirectional reversal, which
+            # runs at the OUTPUT frame rate: for raw-wave chunks the
+            # sample counts must be converted to frame counts (a
+            # decimating front-end shrinks T; sample-rate lengths would
+            # clamp every reversed index to the last frame).  Clamped at 1:
+            # an utterance shorter than window_size would otherwise yield
+            # <=0 frames and corrupt the reversal indices silently.
+            if not chunk.rates_differ:
+                return list(lengths)
+            return [
+                max(1, (ln - chunk.window_size) // chunk.window_shift + 1)
+                for ln in lengths
+            ]
+
         with PosteriorWriter(self.exp.forward, task.info_file) as writer:
-            for batch in iter_forward_batches(chunk, fwd_bs):
-                T, B = batch.feats.shape[:2]
-                # the in-graph lengths drive bidirectional reversal, which
-                # runs at the OUTPUT frame rate: for raw-wave chunks the
-                # sample counts must be converted to frame counts (a
-                # decimating front-end shrinks T; sample-rate lengths would
-                # clamp every reversed index to the last frame)
-                step_lengths = batch.lengths
-                if chunk.rates_differ:
-                    # clamp: an utterance shorter than window_size would
-                    # yield <=0 frames and corrupt the bidirectional
-                    # reversal indices rather than fail loudly (the
-                    # loader's ±window_shift tolerance makes this unlikely
-                    # but not impossible)
-                    step_lengths = [
-                        max(1, (ln - chunk.window_size) // chunk.window_shift + 1)
-                        for ln in batch.lengths
-                    ]
-                outs = self._forward_step(
-                    self.params,
-                    self.batch_stats,
-                    jax.numpy.asarray(batch.feats),
-                    jax.numpy.asarray(step_lengths),
-                )
+            # one-deep software pipeline: batch i's D2H + prior-subtract +
+            # ark write happen while batch i+1 computes on device (the ark
+            # write of 1.9k-dim posteriors is minutes of host work at
+            # Librispeech scale if serialized with the device)
+            pending = None
+
+            def drain(p):
+                nonlocal t_write
+                outs, names, lengths, B = p
+                t0 = tick()
                 for out_name, value in outs.items():
                     # front-ends may change the time axis (samples -> mel
-                    # frames); recover it from the flattened output
+                    # frames); recover it from the flattened output; the
+                    # batch axis stays the PADDED width (names may be fewer)
                     post = np.asarray(value).reshape(-1, B, value.shape[-1])
-                    for k, name in enumerate(batch.names):
-                        ln = int(batch.lengths[k])
-                        if chunk.rates_differ:
-                            ln = max(1, (ln - chunk.window_size) // chunk.window_shift + 1)
-                        writer.write(out_name, name, post[:ln, k])
+                    out_lens = _out_lengths(lengths)
+                    for k, name in enumerate(names):
+                        writer.write(out_name, name, post[: out_lens[k], k])
+                t_write += tick() - t0
+
+            for batch in iter_forward_batches(chunk, fwd_bs):
+                T, B = batch.feats.shape[:2]
+                t0 = tick()
+                feats_d = jax.numpy.asarray(batch.feats)
+                lens_d = jax.numpy.asarray(_out_lengths(batch.lengths))
+                t_h2d += tick() - t0
+                t0 = tick()
+                outs = self._forward_step(
+                    self.params, self.batch_stats, feats_d, lens_d
+                )
+                t_disp += tick() - t0
+                if pending is not None:
+                    drain(pending)
+                pending = (outs, batch.names, batch.lengths, B)
                 n += B
                 frames += T * B
-        return ChunkResult(0.0, 0.0, 0.0, n, frames)
+            if pending is not None:
+                drain(pending)
+        return ChunkResult(
+            0.0, 0.0, 0.0, n, frames,
+            phases={"h2d": t_h2d, "dispatch": t_disp, "d2h_write": t_write},
+        )
