@@ -65,7 +65,181 @@ def build():
     return body, head_cd, head_mono
 
 
+def _mlp_opts(lay, act, bn=None, drop=None):
+    n = len(lay.split(","))
+    return {
+        "dnn_lay": lay,
+        "dnn_drop": drop or ",".join(["0.0"] * n),
+        "dnn_use_laynorm_inp": "False",
+        "dnn_use_batchnorm_inp": "False",
+        "dnn_use_batchnorm": bn or ",".join(["False"] * n),
+        "dnn_use_laynorm": ",".join(["False"] * n),
+        "dnn_act": act,
+    }
+
+
+def measure_train_fps(body, head, n_out, x, iters=10, windows=2, warmup=2):
+    """frames/s of a jitted sgd train step on body+softmax-head; `x` is the
+    recipe-shaped input ((T,B,D) seq or (B,D) frame mode); frames = rows of
+    the flattened head input per step."""
+    rng = np.random.default_rng(0)
+    vb = body.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(9)},
+        x, train=True,
+    )
+    ref_vars = {"params": vb["params"]}
+    if "batch_stats" in vb:
+        ref_vars["batch_stats"] = vb["batch_stats"]
+    h = body.apply(ref_vars, x, train=False)
+    hf = h.reshape(-1, h.shape[-1])
+    vh = head.init({"params": jax.random.key(1)}, hf, train=True)
+    y = jnp.asarray(rng.integers(0, n_out, (hf.shape[0],)))
+    params = {"body": vb["params"], "head": vh["params"]}
+    stats = {
+        "body": vb.get("batch_stats", {}),
+        "head": vh.get("batch_stats", {}),
+    }
+    tx = optax.sgd(0.0004)
+    opt = tx.init(params)
+
+    def loss_fn(params, stats, x, y, key):
+        vars_b = {"params": params["body"]}
+        mut = []
+        if stats["body"]:
+            vars_b["batch_stats"] = stats["body"]
+            mut = ["batch_stats"]
+        if mut:
+            h, new_body = body.apply(vars_b, x, train=True,
+                                     rngs={"dropout": key}, mutable=mut)
+        else:
+            h = body.apply(vars_b, x, train=True, rngs={"dropout": key})
+            new_body = {}
+        hf = h.reshape(-1, h.shape[-1])
+        vars_h = {"params": params["head"]}
+        mut_h = []
+        if stats["head"]:
+            vars_h["batch_stats"] = stats["head"]
+            mut_h = ["batch_stats"]
+        if mut_h:
+            logp, new_head = head.apply(vars_h, hf, train=True, mutable=mut_h)
+        else:
+            logp, new_head = head.apply(vars_h, hf, train=True), {}
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
+        return nll, {
+            "body": new_body.get("batch_stats", stats["body"]),
+            "head": new_head.get("batch_stats", stats["head"]),
+        }
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(params, stats, opt, x, y, key):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, stats, x, y, key
+        )
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), new_stats, opt, loss
+
+    key = jax.random.key(0)
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        params, stats, opt, loss = step(params, stats, opt, x, y, sub)
+    float(jax.device_get(loss))
+    best_dt = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            params, stats, opt, loss = step(params, stats, opt, x, y, sub)
+        float(jax.device_get(loss))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    frames = x.shape[0] * (x.shape[1] if x.ndim == 3 else 1)
+    return frames * iters / best_dt
+
+
+def bench_zoo():
+    """Per-family step frames/s at recipe shapes (VERDICT r2 #7): evidence
+    that 'matching-or-beating on perf' extends beyond the flagship, and a
+    tripwire for kernel regressions.  Disable with TPUKALDI_BENCH_ZOO=0."""
+    from tpukaldi.models import GRU, LSTM, MLP, QLSTM, SincNet
+
+    rng = np.random.default_rng(1)
+    rows = []
+
+    def seq_opts(prefix, H, L, act):
+        return {
+            f"{prefix}_lay": ",".join([str(H)] * L),
+            f"{prefix}_drop": ",".join(["0.2"] * L),
+            f"{prefix}_use_laynorm_inp": "False",
+            f"{prefix}_use_batchnorm_inp": "False",
+            f"{prefix}_use_laynorm": ",".join(["False"] * L),
+            f"{prefix}_use_batchnorm": ",".join(["True"] * L),
+            f"{prefix}_bidir": "True",
+            f"{prefix}_act": ",".join([act] * L),
+            f"{prefix}_orthinit": "True",
+        }
+
+    # TIMIT LSTM/GRU fMLLR recipes: 5x550 bidir, batch 8, seq len 1000-cap
+    # (bench uses the 500-frame average utterance like the flagship row)
+    for name, cls, act in (("lstm", LSTM, "tanh"), ("gru", GRU, "relu")):
+        body = cls(options=seq_opts(name, 550, 5, act), inp_dim=D)
+        head = MLP(options=_mlp_opts(str(N_CD), "softmax"),
+                   inp_dim=body.out_dim)
+        x = jnp.asarray(rng.standard_normal((T, B, D)), jnp.float32)
+        fps = measure_train_fps(body, head, N_CD, x)
+        rows.append((f"train_frames_per_sec_per_chip_{name}_fmllr", fps))
+
+    # TIMIT SincNet raw recipe: 80/60/60 filters over 200ms windows
+    # (3200 samples @16k), frame mode, batch 128, 2048x2 MLP head
+    sinc = SincNet(
+        options={
+            "sinc_n_filt": "80,60,60", "sinc_len_filt": "129,5,3",
+            "sinc_max_pool_len": "3,3,3", "sinc_sample_rate": "16000",
+            "sinc_min_low_hz": "50", "sinc_min_band_hz": "50",
+            "sinc_use_laynorm_inp": "True",
+            "sinc_use_batchnorm_inp": "False",
+            "sinc_use_laynorm": "True,True,True",
+            "sinc_use_batchnorm": "False,False,False",
+            "sinc_act": "leaky_relu,leaky_relu,leaky_relu",
+            "sinc_drop": "0.0,0.0,0.0",
+        },
+        inp_dim=3200,
+    )
+    head = MLP(
+        options=_mlp_opts(f"2048,2048,{N_CD}",
+                          "leaky_relu,leaky_relu,softmax",
+                          bn="True,True,False"),
+        inp_dim=sinc.out_dim,
+    )
+    x = jnp.asarray(rng.standard_normal((128, 3200)), jnp.float32)
+    fps = measure_train_fps(sinc, head, N_CD, x)
+    rows.append(("train_frames_per_sec_per_chip_sincnet_raw", fps))
+
+    # DIRHA QLSTM recipe: 2x1024 bidir tanh quaternion cells, batch 16;
+    # input dim 80 (quaternion layers need D % 4 == 0)
+    qlstm = QLSTM(
+        options={
+            "lstm_lay": "1024,1024", "lstm_drop": "0.2,0.2",
+            "lstm_bidir": "True", "lstm_act": "tanh,tanh",
+            "quaternion_init": "quaternion", "autograd": "False",
+        },
+        inp_dim=80,
+    )
+    head = MLP(options=_mlp_opts(str(N_CD), "softmax"), inp_dim=qlstm.out_dim)
+    x = jnp.asarray(rng.standard_normal((T, 16, 80)), jnp.float32)
+    fps = measure_train_fps(qlstm, head, N_CD, x)
+    rows.append(("train_frames_per_sec_per_chip_qlstm", fps))
+    return rows
+
+
 def main():
+    # persistent XLA compile cache: repeat bench invocations (and the zoo
+    # rows across rounds) skip the one-time compiles, which are minutes
+    # over the tunnel
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/tpukaldi_xla_cache"
+        )
+    except Exception:
+        pass
     body, head_cd, head_mono = build()
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((T, B, D)), jnp.float32)
@@ -128,6 +302,27 @@ def main():
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     fps = T * B * ITERS / best_dt
+
+    # ---- zoo family rows (guarded so the headline always prints) --------
+    zoo_rows = []
+    if os.environ.get("TPUKALDI_BENCH_ZOO", "1") != "0":
+        import signal
+
+        def _zoo_bail(signum, frame):
+            raise TimeoutError("bench zoo section overran its budget")
+
+        old = signal.signal(signal.SIGALRM, _zoo_bail)
+        signal.alarm(int(os.environ.get("TPUKALDI_BENCH_ZOO_BUDGET", "900")))
+        try:
+            zoo_rows = bench_zoo()
+        except TimeoutError as e:
+            import sys
+
+            print(f"[bench] {e}; emitting completed zoo rows only",
+                  file=sys.stderr)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
 
     # ---- MFU: analytic model FLOPs vs chip peak --------------------------
     # forward matmul FLOPs of the flagship step (elementwise ignored):
@@ -215,6 +410,13 @@ def main():
                 "unit": "s",
                 "vs_baseline": round(v / wall, 3),
             }))
+    for metric, zfps in zoo_rows:
+        print(json.dumps({
+            "metric": metric,
+            "value": round(zfps, 1),
+            "unit": "frames/s",
+            "vs_baseline": round(zfps / BASELINE_FPS, 2),
+        }))
     print(json.dumps({
         "metric": "mfu_vs_v5e_bf16_peak",
         "value": round(mfu_pct, 2),

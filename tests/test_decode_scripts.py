@@ -260,3 +260,68 @@ def test_score_wer_drops_stale_wer_files(kaldi_env):
     assert not (out / "wer_9").exists()
     best = harvest_wer(str(out))
     assert best["wer"] == 18.4  # not the stale 1.00
+
+
+def test_score_per_phone_folding(kaldi_env, tmp_path):
+    """The shipped score_per.sh folds 48->39 phones (reference
+    local/score.sh:33-40 protocol via timit_norm_trans) before the
+    compute-wer sweep, so TIMIT PER is scoreable without sctk (VERDICT r2
+    #6).  Stub best-path emits phone ids; the map folds ix->ih, deletes q,
+    and sil is dropped as compute-wer's optional-token stand-in."""
+    import stat as _stat
+
+    env = kaldi_env
+    # phone-world graph: words.txt maps ids to 48-set phones
+    (env["graph"] / "words.txt").write_text(
+        "<eps> 0\nsil 1\nih 2\nix 3\nq 4\naa 5\n")
+    (env["data"] / "text").write_text("utt1 sil ix q aa sil\n")
+    pmap = tmp_path / "phones.60-48-39.map"
+    pmap.write_text(
+        "sil sil sil\nih ih ih\nix ix ih\nq q\naa aa aa\n")
+    # best-path stub emitting phone-id transcripts: "sil ih q aa" -> after
+    # folding hyp = [ih aa], ref = [ih aa] -> PER 0; higher lmwt flips one
+    bp = env["tmp"] / "bin" / "lattice-best-path"
+    bp.write_text(
+        "#!/bin/bash\n"
+        'for a; do case "$a" in ark,t:*) out="${a#ark,t:}";; esac; done\n'
+        'case "$out" in *"/2.tra") printf "utt1 1 2 4 5\\n" > "$out";;\n'
+        '*) printf "utt1 1 3 4 2\\n" > "$out";; esac\n'
+    )
+    bp.chmod(bp.stat().st_mode | _stat.S_IEXEC)
+    cw = env["tmp"] / "bin" / "compute-wer"
+    cw.write_text(
+        "#!/bin/bash\n"
+        'ref="${@: -2:1}"; hyp="${@: -1}"\n'
+        'ref_t=$(grep utt1 "${ref#ark:}" | cut -d" " -f2-)\n'
+        'hyp_t=$(grep utt1 "${hyp#ark:}" | cut -d" " -f2-)\n'
+        'if [ "$ref_t" = "$hyp_t" ]; then\n'
+        '  echo "%WER 0.00 [ 0 / 2, 0 ins, 0 del, 0 sub ]"\n'
+        "else\n"
+        '  echo "%WER 50.00 [ 1 / 2, 0 ins, 0 del, 1 sub ]"\n'
+        "fi\n"
+    )
+    cw.chmod(cw.stat().st_mode | _stat.S_IEXEC)
+    out = env["tmp"] / "dec_per"
+    conf = _conf(env, env["tmp"] / "per.conf")
+    r = subprocess.run(
+        [os.path.join(SCRIPTS, "decode_dnn.sh"), conf, str(out),
+         env["arks"][0]],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [os.path.join(SCRIPTS, "score_per.sh"), "--min-lmwt", "2",
+         "--max-lmwt", "3", "--phone-map", str(pmap),
+         str(env["data"]), str(env["graph"]), str(out)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    # folded reference: "ih aa" (ix->ih, q deleted, sil dropped)
+    ref = (out / "scoring" / "ref_39phn").read_text().strip()
+    assert ref == "utt1 ih aa"
+    # lmwt=2 hyp "sil ih q aa" folds to "ih aa" -> PER 0; lmwt=3 "ix q ih"
+    # folds to "ih ih" -> one substitution
+    assert "%WER 0.00" in (out / "wer_2").read_text()
+    assert "%WER 50.00" in (out / "wer_3").read_text()
+    best = harvest_wer(str(out))
+    assert best["wer"] == 0.0
