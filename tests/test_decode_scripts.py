@@ -325,3 +325,43 @@ def test_score_per_phone_folding(kaldi_env, tmp_path):
     assert "%WER 50.00" in (out / "wer_3").read_text()
     best = harvest_wer(str(out))
     assert best["wer"] == 0.0
+
+
+def test_fallback_prefers_per_scorer_with_phone_map(kaldi_env, tmp_path):
+    """When the configured scoring_script is absent and the data tree
+    carries a TIMIT phone map, decode_dnn.sh falls back to score_per.sh
+    (folded PER) instead of the generic word scorer."""
+    import stat as _stat
+
+    env = kaldi_env
+    (env["graph"] / "words.txt").write_text("<eps> 0\nsil 1\naa 2\n")
+    (env["data"] / "text").write_text("utt1 aa aa\n")
+    (env["data"] / "phones.60-48-39.map").write_text("sil sil sil\naa aa aa\n")
+    bp = env["tmp"] / "bin" / "lattice-best-path"
+    bp.write_text(
+        "#!/bin/bash\n"
+        'for a; do case "$a" in ark,t:*) out="${a#ark,t:}";; esac; done\n'
+        'printf "utt1 1 2 2\\n" > "$out"\n'
+    )
+    bp.chmod(bp.stat().st_mode | _stat.S_IEXEC)
+    cw = env["tmp"] / "bin" / "compute-wer"
+    cw.write_text(
+        "#!/bin/bash\n"
+        'hyp="${@: -1}"\n'
+        # the folded hyp must have dropped sil: "aa aa"
+        'grep -q "utt1 aa aa" "${hyp#ark:}" || { echo bad >&2; exit 1; }\n'
+        'echo "%WER 0.00 [ 0 / 2, 0 ins, 0 del, 0 sub ]"\n'
+    )
+    cw.chmod(cw.stat().st_mode | _stat.S_IEXEC)
+    out = env["tmp"] / "dec_permap"
+    conf = _conf(env, env["tmp"] / "permap.conf",
+                 "scoring_script = /nonexistent/score.sh\n")
+    r = subprocess.run(
+        [os.path.join(SCRIPTS, "decode_dnn.sh"), conf, str(out),
+         env["arks"][0]],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "score_per.sh" in r.stderr  # fallback warning names the scorer
+    assert (out / "scoring" / "ref_39phn").exists()
+    assert "%WER 0.00" in (out / "wer_2").read_text()

@@ -121,7 +121,10 @@ def test_experiment_determinism(tmp_path_factory):
         run_experiment(cfg)
         import re
 
-        text = open(os.path.join(out, "res.res")).read()
+        text = "\n".join(
+            l for l in open(os.path.join(out, "res.res")).read().splitlines()
+            if not l.startswith("phases ")  # wall-time diagnostics
+        )
         results.append(re.sub(r"time\(s\)=\d+", "time(s)=X", text))
     assert results[0] == results[1]
 

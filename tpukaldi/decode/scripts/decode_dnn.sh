@@ -90,12 +90,24 @@ esac
 here=$(cd "$(dirname "$0")" && pwd)
 scorer=$scoring_script
 if [ -n "$scorer" ] && [ ! -x "$scorer" ]; then
-  # the fallback word scorer is a different protocol (e.g. no TIMIT
-  # 48->39 phone folding) — never swap it in silently
+  # pick the phone-folding fallback when the data tree carries a TIMIT
+  # phone map (the 48->39 protocol of the reference's local/score.sh);
+  # otherwise the generic word scorer — and never swap silently
+  if [ -f "$data/../phones.60-48-39.map" ] || [ -f "$data/phones.60-48-39.map" ]; then
+    fallback="$here/score_per.sh"
+  else
+    fallback="$here/score_wer.sh"
+  fi
   echo "$0: WARNING: scoring_script '$scorer' not found/executable;" \
-       "falling back to generic $here/score_wer.sh (results may not be" \
-       "comparable to the recipe's scoring protocol)" >&2
+       "falling back to $fallback (results may not be comparable to the" \
+       "recipe's scoring protocol)" >&2
 fi
-[ -n "$scorer" ] && [ -x "$scorer" ] || scorer="$here/score_wer.sh"
+if [ -z "$scorer" ] || [ ! -x "$scorer" ]; then
+  if [ -f "$data/../phones.60-48-39.map" ] || [ -f "$data/phones.60-48-39.map" ]; then
+    scorer="$here/score_per.sh"
+  else
+    scorer="$here/score_wer.sh"
+  fi
+fi
 # shellcheck disable=SC2086  # scoring_opts is intentionally word-split
 "$scorer" $scoring_opts "$data" "$graphdir" "$dir"

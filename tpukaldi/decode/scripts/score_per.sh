@@ -40,7 +40,12 @@ data=$1
 graph=$2
 dir=$3
 symtab=$graph/words.txt
-[ -n "$phone_map" ] || phone_map=$data/../phones.60-48-39.map
+if [ -z "$phone_map" ]; then
+  for cand in "$data/phones.60-48-39.map" "$data/../phones.60-48-39.map" \
+              "$data/conf/phones.60-48-39.map"; do
+    [ -f "$cand" ] && { phone_map=$cand; break; }
+  done
+fi
 
 for f in "$symtab" "$data/text" "$dir/num_jobs" "$phone_map"; do
   [ -f "$f" ] || { echo "$0: missing $f" >&2; exit 1; }
