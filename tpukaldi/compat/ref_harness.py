@@ -316,24 +316,24 @@ opt_dampening = 0.0
 opt_nesterov = False
 """
 
-_LIGRU_ARCH = """[architecture1]
-arch_name = liGRU_layers
-arch_proto = proto/liGRU.proto
-arch_library = {library}
-arch_class = liGRU
-arch_pretrain_file = {pretrain1}
+_RECURRENT_ARCH = """[architecture1]
+arch_name = {cls}_layers
+arch_proto = proto/{cls}.proto
+arch_library = {{library}}
+arch_class = {cls}
+arch_pretrain_file = {{pretrain1}}
 arch_freeze = False
 arch_seq_model = True
-ligru_lay = 16,16
-ligru_drop = 0.0,0.0
-ligru_use_laynorm_inp = False
-ligru_use_batchnorm_inp = False
-ligru_use_laynorm = False,False
-ligru_use_batchnorm = True,True
-ligru_bidir = True
-ligru_act = relu,relu
-ligru_orthinit = True
-arch_lr = {lr}
+{prefix}_lay = 16,16
+{prefix}_drop = 0.0,0.0
+{prefix}_use_laynorm_inp = False
+{prefix}_use_batchnorm_inp = False
+{prefix}_use_laynorm = False,False
+{prefix}_use_batchnorm = True,True
+{prefix}_bidir = True
+{prefix}_act = {act},{act}
+{prefix}_orthinit = True
+arch_lr = {{lr}}
 arch_halving_factor = 0.5
 arch_improvement_threshold = 0.001
 arch_opt = sgd
@@ -345,19 +345,19 @@ opt_nesterov = False
 [architecture2]
 arch_name = MLP_softmax
 arch_proto = proto/MLP.proto
-arch_library = {library}
+arch_library = {{library}}
 arch_class = MLP
-arch_pretrain_file = {pretrain2}
+arch_pretrain_file = {{pretrain2}}
 arch_freeze = False
 arch_seq_model = False
-dnn_lay = {n_pdfs}
+dnn_lay = {{n_pdfs}}
 dnn_drop = 0.0
 dnn_use_laynorm_inp = False
 dnn_use_batchnorm_inp = False
 dnn_use_batchnorm = False
 dnn_use_laynorm = False
 dnn_act = softmax
-arch_lr = {lr}
+arch_lr = {{lr}}
 arch_halving_factor = 0.5
 arch_improvement_threshold = 0.001
 arch_opt = sgd
@@ -367,6 +367,16 @@ opt_dampening = 0.0
 opt_nesterov = False
 """
 
+# recurrent families the harness can drive through the reference:
+# class name -> (option prefix, activation)
+RECURRENT_SPECS = {
+    "liGRU": ("ligru", "relu"),
+    "GRU": ("gru", "relu"),
+    "LSTM": ("lstm", "tanh"),
+    "RNN": ("rnn", "tanh"),
+    "minimalGRU": ("minimalgru", "relu"),
+}
+
 _MODEL = {
     "MLP": (
         "out_dnn1=compute(MLP_layers1,mfcc)\n"
@@ -374,14 +384,15 @@ _MODEL = {
         "\terr_final=cost_err(out_dnn1,lab_cd)",
         "out_dnn1",
     ),
-    "liGRU": (
-        "out_dnn1=compute(liGRU_layers,mfcc)\n"
+}
+for _cls in RECURRENT_SPECS:
+    _MODEL[_cls] = (
+        f"out_dnn1=compute({_cls}_layers,mfcc)\n"
         "\tout_dnn2=compute(MLP_softmax,out_dnn1)\n"
         "\tloss_final=cost_nll(out_dnn2,lab_cd)\n"
         "\terr_final=cost_err(out_dnn2,lab_cd)",
         "out_dnn2",
-    ),
-}
+    )
 
 _DATASET = """[dataset{idx}]
 data_name = {name}
@@ -488,7 +499,12 @@ def write_parity_cfg(
     fills arch_pretrain_file per architecture section (common-init
     trajectory comparisons)."""
     library = "neural_networks" if side == "reference" else "tpukaldi.models"
-    arch_sections = (_MLP_ARCH if arch == "MLP" else _LIGRU_ARCH).format(
+    if arch == "MLP":
+        template = _MLP_ARCH
+    else:
+        prefix, act = RECURRENT_SPECS[arch]
+        template = _RECURRENT_ARCH.format(cls=arch, prefix=prefix, act=act)
+    arch_sections = template.format(
         library=library, n_pdfs=tree.n_pdfs, lr=lr,
         pretrain1=pretrain[0], pretrain2=pretrain[1],
     )
@@ -588,11 +604,12 @@ def run_reference_forward_chunk(
 # tpukaldi by arch_name (plan/planner.py final_ckpts)
 ARCH_CLASSES = {
     "MLP": (("architecture1", "MLP_layers1", "MLP"),),
-    "liGRU": (
-        ("architecture1", "liGRU_layers", "liGRU"),
-        ("architecture2", "MLP_softmax", "MLP"),
-    ),
 }
+for _cls in RECURRENT_SPECS:
+    ARCH_CLASSES[_cls] = (
+        ("architecture1", f"{_cls}_layers", _cls),
+        ("architecture2", "MLP_softmax", "MLP"),
+    )
 
 
 def import_final_checkpoints(
