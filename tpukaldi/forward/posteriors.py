@@ -24,11 +24,16 @@ class PosteriorWriter:
     """One ark file per forward output, named off the chunk's info file
     (reference core.py:540-548)."""
 
-    def __init__(self, forward: ForwardSpec, info_file: str):
+    def __init__(self, forward: ForwardSpec, info_file: str,
+                 subtract_on_write: bool = True):
         self.forward = forward
         self.files: Dict[str, object] = {}
         self.log_priors: Dict[str, Optional[np.ndarray]] = {}
         self.paths: Dict[str, str] = {}
+        # False when the caller fuses the prior subtraction into the device
+        # forward step (train/step.py make_forward_step log_priors=...) —
+        # write() then just serializes
+        self.subtract_on_write = subtract_on_write
         # resolve every prior BEFORE opening any ark: a malformed count
         # file must not leave behind truncated arks that a resumed driver
         # would treat as valid decode inputs
@@ -70,9 +75,10 @@ class PosteriorWriter:
             self.files[out] = open(path, "wb")
 
     def write(self, out_name: str, key: str, log_post: np.ndarray) -> None:
-        prior = self.log_priors[out_name]
-        if prior is not None:
-            log_post = log_post - prior
+        if self.subtract_on_write:
+            prior = self.log_priors[out_name]
+            if prior is not None:
+                log_post = log_post - prior
         kio.write_mat(self.files[out_name], log_post.astype(np.float32), key=key)
 
     def close(self) -> List[str]:

@@ -133,16 +133,14 @@ def export_forward(
     from ..train.chunk_runtime import ChunkRuntime
 
     compute_dtype = ChunkRuntime(exp)._compute_dtype()
-    fwd = make_forward_step(graph, compute_dtype=compute_dtype)
+    # priors baked into the exported graph (train/step.py fuses the
+    # subtraction as an XLA constant)
+    fwd = make_forward_step(
+        graph, compute_dtype=compute_dtype, log_priors=log_priors or None
+    )
 
     def serve(feats, lengths):
-        outs = fwd(params, stats, feats, lengths)
-        if log_priors:
-            outs = {
-                k: v - log_priors[k] if k in log_priors else v
-                for k, v in outs.items()
-            }
-        return outs
+        return fwd(params, stats, feats, lengths)
 
     kwargs = {}
     if platforms:

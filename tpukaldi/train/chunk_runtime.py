@@ -200,6 +200,9 @@ class ChunkRuntime:
             self.graph, mesh=self.mesh, compute_dtype=cdt
         )
         self._forward_step = make_forward_step(self.graph, compute_dtype=cdt)
+        # prior-baked variant, built lazily on the first forward chunk (the
+        # priors come from the forward spec's count files via PosteriorWriter)
+        self._fwd_prior_step = None
 
     def apply_epoch_schedules(self, epoch: int) -> None:
         """Per-epoch scheduled dropout (the reference bakes drop_rates into
@@ -484,7 +487,21 @@ class ChunkRuntime:
                 for ln in lengths
             ]
 
-        with PosteriorWriter(self.exp.forward, task.info_file) as writer:
+        with PosteriorWriter(
+            self.exp.forward, task.info_file, subtract_on_write=False
+        ) as writer:
+            # fuse the prior subtraction into the device forward (XLA folds
+            # the constant into the output fusion); the writer then only
+            # serializes.  Stubs without log_priors keep the plain step.
+            fwd = self._forward_step
+            priors = getattr(writer, "log_priors", None)
+            if priors and any(p is not None for p in priors.values()):
+                if self._fwd_prior_step is None:
+                    self._fwd_prior_step = make_forward_step(
+                        self.graph, compute_dtype=self._compute_dtype(),
+                        log_priors=priors,
+                    )
+                fwd = self._fwd_prior_step
             # one-deep software pipeline: batch i's D2H + prior-subtract +
             # ark write happen while batch i+1 computes on device (the ark
             # write of 1.9k-dim posteriors is minutes of host work at
@@ -512,7 +529,7 @@ class ChunkRuntime:
                 lens_d = jax.numpy.asarray(_out_lengths(batch.lengths))
                 t_h2d += tick() - t0
                 t0 = tick()
-                outs = self._forward_step(
+                outs = fwd(
                     self.params, self.batch_stats, feats_d, lens_d
                 )
                 t_disp += tick() - t0

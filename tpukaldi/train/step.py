@@ -238,12 +238,23 @@ def make_eval_multistep(graph: GraphSpec, mesh: Optional[Mesh] = None,
 
 
 def make_forward_step(graph: GraphSpec, out_names: Optional[list] = None,
-                      compute_dtype=None):
+                      compute_dtype=None, log_priors=None):
     """Posterior computation for one utterance batch: returns the requested
     forward outputs flattened to (T*B, C).  `lengths` makes bucket-padded
     utterances exact for bidirectional models (padding stays at the end and
-    is sliced off by the caller)."""
+    is sliced off by the caller).
+
+    `log_priors` (optional dict out_name -> np.ndarray or None) bakes the
+    prior subtraction `out - log(counts/sum(counts))` (reference
+    core.py:665-668) into the jitted graph as a fused constant, so the ark
+    writer receives decoder-ready matrices and the host never touches the
+    (T*B, N_out) posteriors beyond serialization."""
     out_names = out_names or graph.forward_outs
+    priors = {
+        name: (None if log_priors is None or log_priors.get(name) is None
+               else jnp.asarray(log_priors[name], dtype=jnp.float32))
+        for name in out_names
+    }
 
     def step(params, batch_stats, feats, lengths):
         params, feats = _cast_compute(params, feats, compute_dtype)
@@ -256,6 +267,8 @@ def make_forward_step(graph: GraphSpec, out_names: Optional[list] = None,
             # posterior arks are always f32 (non-softmax forward outs,
             # e.g. enhancement targets, would otherwise emit bf16)
             o = outs[name].astype(jnp.float32)
+            if priors[name] is not None:
+                o = o - priors[name]
             result[name] = o.reshape(o.shape[0] * o.shape[1], -1) if o.ndim == 3 else o
         return result
 
