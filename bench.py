@@ -463,6 +463,28 @@ def main():
             _emit("forward_frames_per_sec_incl_ark_write",
                   round(e2e["forward_fps"], 1), "frames/s",
                   round(e2e["forward_fps"] / BASELINE_FPS, 2))
+            # context for the row above: posterior emission is D2H-bound on
+            # the tunneled dev chip (1944-dim f32 posteriors are ~9.3 KB
+            # per frame), so the interpretable ceiling is the measured
+            # device->host link bandwidth, not the device.  A real PCIe/
+            # DMA-attached TPU host moves GB/s.  vs_baseline = implied
+            # frames/s ceiling at this link speed over BASELINE_FPS.
+            try:
+                with _Budget(120, "d2h link probe"):
+                    probe = jax.jit(
+                        lambda i: jnp.full((2400, N_CD), i, jnp.float32)
+                    )
+                    y = probe(1)
+                    y.block_until_ready()
+                    t0 = time.perf_counter()
+                    np.asarray(y)
+                    link = y.nbytes / 1e6 / (time.perf_counter() - t0)
+                    frame_bytes = N_CD * 4
+                    _emit("d2h_link_MBps_posterior_path", round(link, 1),
+                          "MB/s",
+                          round(link * 1e6 / frame_bytes / BASELINE_FPS, 2))
+            except TimeoutError:
+                pass
         if e2e.get("phases"):
             # warm-epoch phase breakdown (VERDICT r2 #2): one row per
             # phase, vs_baseline = fraction of the epoch wall

@@ -79,7 +79,9 @@ class PosteriorWriter:
             prior = self.log_priors[out_name]
             if prior is not None:
                 log_post = log_post - prior
-        kio.write_mat(self.files[out_name], log_post.astype(np.float32), key=key)
+        if log_post.dtype != np.float32:
+            log_post = log_post.astype(np.float32)
+        kio.write_mat(self.files[out_name], log_post, key=key)
 
     def close(self) -> List[str]:
         for f in self.files.values():

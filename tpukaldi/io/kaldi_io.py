@@ -241,13 +241,17 @@ def write_mat(fd: BinaryIO, mat: np.ndarray, key: str = "") -> None:
     fd.write(BINARY_FLAG)
     if mat.dtype == np.float64:
         fd.write(b"DM ")
-        payload = mat.astype("<f8")
+        # ascontiguousarray is at most ONE copy (none when the input is
+        # already contiguous little-endian), vs astype+tobytes' two full
+        # copies — posterior emission writes GBs through here and the
+        # serialization rides the forward stage's critical path
+        payload = np.ascontiguousarray(mat, dtype="<f8")
     else:
         fd.write(b"FM ")
-        payload = mat.astype("<f4")
+        payload = np.ascontiguousarray(mat, dtype="<f4")
     _write_int32(fd, mat.shape[0])
     _write_int32(fd, mat.shape[1])
-    fd.write(payload.tobytes())
+    fd.write(payload.data)
 
 
 def write_mat_compressed(fd: BinaryIO, mat: np.ndarray, key: str = "") -> None:

@@ -466,9 +466,22 @@ class ChunkRuntime:
         # batched bucketed forward (TPU analog of the reference's per-chunk
         # forwarding process pool, run_exp.py:478-498); rate-differing
         # (raw-wave) utterances keep batch 1 to preserve the window relation
-        fwd_bs = int(_os.environ.get("TPUKALDI_FORWARD_BATCH", "8"))
+        # TPU default 16: the tunneled link pays a per-RPC latency on every
+        # h2d/d2h, so fewer, larger batches win (padding ratio is unchanged
+        # — batches never straddle buckets)
+        default_bs = "16" if jax.default_backend() == "tpu" else "8"
+        fwd_bs = int(_os.environ.get("TPUKALDI_FORWARD_BATCH", default_bs))
         if chunk.rates_differ:
             fwd_bs = 1
+        # opt-in d2h quantization for transfer-bound links (see
+        # train/step.py make_forward_step docstring); float32 = exact
+        d2h_name = _os.environ.get(
+            "TPUKALDI_FORWARD_D2H", "float32").strip().lower()
+        d2h_dtype = {
+            "float32": None, "f32": None, "": None,
+            "float16": jax.numpy.float16, "f16": jax.numpy.float16,
+            "bfloat16": jax.numpy.bfloat16, "bf16": jax.numpy.bfloat16,
+        }[d2h_name]
         tick = time.perf_counter
         t_h2d = t_disp = t_write = 0.0
 
@@ -487,6 +500,9 @@ class ChunkRuntime:
                 for ln in lengths
             ]
 
+        import queue
+        import threading
+
         with PosteriorWriter(
             self.exp.forward, task.info_file, subtract_on_write=False
         ) as writer:
@@ -495,52 +511,97 @@ class ChunkRuntime:
             # serializes.  Stubs without log_priors keep the plain step.
             fwd = self._forward_step
             priors = getattr(writer, "log_priors", None)
-            if priors and any(p is not None for p in priors.values()):
+            want_priors = bool(
+                priors and any(p is not None for p in priors.values())
+            )
+            if want_priors or d2h_dtype is not None:
                 if self._fwd_prior_step is None:
                     self._fwd_prior_step = make_forward_step(
                         self.graph, compute_dtype=self._compute_dtype(),
-                        log_priors=priors,
+                        log_priors=priors if want_priors else None,
+                        d2h_dtype=d2h_dtype,
                     )
                 fwd = self._fwd_prior_step
-            # one-deep software pipeline: batch i's D2H + prior-subtract +
-            # ark write happen while batch i+1 computes on device (the ark
-            # write of 1.9k-dim posteriors is minutes of host work at
-            # Librispeech scale if serialized with the device)
+
+            # three-stage software pipeline over (device compute | tunnel
+            # D2H | host serialization): batch i+1 computes on device while
+            # batch i's posteriors cross the link and batch i-1 is sliced +
+            # ark-written on a separate thread.  The serialization is GBs of
+            # memcpy+disk at Librispeech scale — letting it ride behind the
+            # D2H (which releases the GIL in the transfer RPC) roughly
+            # halves the stage wall vs the round-2 two-stage pipeline.
+            t_ark = [0.0]
+            wq: "queue.Queue" = queue.Queue(maxsize=2)
+            werr: list = []
+
+            def _writer_loop():
+                while True:
+                    item = wq.get()
+                    if item is None:
+                        return
+                    outs_np, names, lengths, B = item
+                    t0 = tick()
+                    try:
+                        for out_name, post in outs_np.items():
+                            # front-ends may change the time axis (samples
+                            # -> mel frames); recover it from the flattened
+                            # output; the batch axis stays the PADDED width
+                            # (names may be fewer)
+                            post = post.reshape(-1, B, post.shape[-1])
+                            out_lens = _out_lengths(lengths)
+                            for k, name in enumerate(names):
+                                writer.write(out_name, name,
+                                             post[: out_lens[k], k])
+                    except BaseException as e:  # surfaced on the main thread
+                        werr.append(e)
+                        return
+                    finally:
+                        t_ark[0] += tick() - t0
+
+            wt = threading.Thread(target=_writer_loop, daemon=True)
+            wt.start()
             pending = None
 
             def drain(p):
                 nonlocal t_write
                 outs, names, lengths, B = p
                 t0 = tick()
-                for out_name, value in outs.items():
-                    # front-ends may change the time axis (samples -> mel
-                    # frames); recover it from the flattened output; the
-                    # batch axis stays the PADDED width (names may be fewer)
-                    post = np.asarray(value).reshape(-1, B, value.shape[-1])
-                    out_lens = _out_lengths(lengths)
-                    for k, name in enumerate(names):
-                        writer.write(out_name, name, post[: out_lens[k], k])
+                outs_np = {k: np.asarray(v) for k, v in outs.items()}
                 t_write += tick() - t0
+                if werr:
+                    raise werr[0]
+                wq.put((outs_np, names, lengths, B))
 
-            for batch in iter_forward_batches(chunk, fwd_bs):
-                T, B = batch.feats.shape[:2]
-                t0 = tick()
-                feats_d = jax.numpy.asarray(batch.feats)
-                lens_d = jax.numpy.asarray(_out_lengths(batch.lengths))
-                t_h2d += tick() - t0
-                t0 = tick()
-                outs = fwd(
-                    self.params, self.batch_stats, feats_d, lens_d
-                )
-                t_disp += tick() - t0
+            try:
+                for batch in iter_forward_batches(chunk, fwd_bs):
+                    T, B = batch.feats.shape[:2]
+                    t0 = tick()
+                    # device_put is async: the upload overlaps the previous
+                    # batch's compute instead of blocking on the tunnel RTT
+                    feats_d = jax.device_put(batch.feats)
+                    lens_d = jax.device_put(
+                        np.asarray(_out_lengths(batch.lengths), np.int32)
+                    )
+                    t_h2d += tick() - t0
+                    t0 = tick()
+                    outs = fwd(
+                        self.params, self.batch_stats, feats_d, lens_d
+                    )
+                    t_disp += tick() - t0
+                    if pending is not None:
+                        drain(pending)
+                    pending = (outs, batch.names, batch.lengths, B)
+                    n += B
+                    frames += T * B
                 if pending is not None:
                     drain(pending)
-                pending = (outs, batch.names, batch.lengths, B)
-                n += B
-                frames += T * B
-            if pending is not None:
-                drain(pending)
+            finally:
+                wq.put(None)
+                wt.join()
+            if werr:
+                raise werr[0]
         return ChunkResult(
             0.0, 0.0, 0.0, n, frames,
-            phases={"h2d": t_h2d, "dispatch": t_disp, "d2h_write": t_write},
+            phases={"h2d": t_h2d, "dispatch": t_disp, "d2h": t_write,
+                    "ark_write": t_ark[0]},
         )

@@ -238,7 +238,7 @@ def make_eval_multistep(graph: GraphSpec, mesh: Optional[Mesh] = None,
 
 
 def make_forward_step(graph: GraphSpec, out_names: Optional[list] = None,
-                      compute_dtype=None, log_priors=None):
+                      compute_dtype=None, log_priors=None, d2h_dtype=None):
     """Posterior computation for one utterance batch: returns the requested
     forward outputs flattened to (T*B, C).  `lengths` makes bucket-padded
     utterances exact for bidirectional models (padding stays at the end and
@@ -248,7 +248,16 @@ def make_forward_step(graph: GraphSpec, out_names: Optional[list] = None,
     prior subtraction `out - log(counts/sum(counts))` (reference
     core.py:665-668) into the jitted graph as a fused constant, so the ark
     writer receives decoder-ready matrices and the host never touches the
-    (T*B, N_out) posteriors beyond serialization."""
+    (T*B, N_out) posteriors beyond serialization.
+
+    `d2h_dtype` (optional, e.g. jnp.float16) quantizes the FINAL
+    prior-normalized log posteriors on device before the device->host
+    copy — halving D2H bytes on transfer-bound links (the dev tunnel
+    moves ~20 MB/s device->host; a real PCIe host does GB/s).  The ark is
+    still written float32; only the values are quantized (~5e-4 relative
+    — invisible to a WFST decoder at beam/acwt scales, but OUTSIDE the
+    1e-4 posterior parity contract, hence opt-in via
+    TPUKALDI_FORWARD_D2H, never default)."""
     out_names = out_names or graph.forward_outs
     priors = {
         name: (None if log_priors is None or log_priors.get(name) is None
@@ -269,6 +278,8 @@ def make_forward_step(graph: GraphSpec, out_names: Optional[list] = None,
             o = outs[name].astype(jnp.float32)
             if priors[name] is not None:
                 o = o - priors[name]
+            if d2h_dtype is not None:
+                o = o.astype(d2h_dtype)
             result[name] = o.reshape(o.shape[0] * o.shape[1], -1) if o.ndim == 3 else o
         return result
 
