@@ -319,7 +319,8 @@ def _run_experiment(
                 f" valid_wall={valid_wall:.2f}"
                 + "".join(
                     f" {k}={_sum_phase(tr_results + ep_valid_results, k):.2f}"
-                    for k in ("h2d", "dispatch", "drain", "ckpt_block")
+                    for k in ("h2d", "dispatch", "drain", "ckpt_block",
+                              "restore_wait")
                 )
                 + f" driver_other={max(epoch_wall - accounted, 0.0):.2f}"
                 f" epoch_wall={epoch_wall:.2f}\n"

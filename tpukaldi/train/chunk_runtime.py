@@ -225,14 +225,24 @@ class ChunkRuntime:
 
     def restore_from(self, pretrain_files: Dict[str, str]) -> None:
         """Cold-resume path: load per-arch checkpoints when they exist and
-        differ from what's already resident."""
-        self.checkpointer.wait()  # files must be complete before reading
-        to_load = {
+        differ from what's already resident.
+
+        The resident-state check runs BEFORE joining the async checkpoint
+        writer: in the steady rolling flow each chunk's pretrain pointer is
+        exactly what `mark_saved` recorded at the previous async save, so
+        the common case returns without blocking on the previous chunk's
+        serialize+write (100 MB of device->host + disk that would otherwise
+        gate EVERY chunk start).  Only a genuine reload (crash resume,
+        transfer learning) must wait for complete files."""
+        want = {
             a: p
             for a, p in pretrain_files.items()
-            if p not in ("none", "") and os.path.exists(p)
-            and self._loaded_from.get(a) != p
+            if p not in ("none", "") and self._loaded_from.get(a) != p
         }
+        if not want:
+            return
+        self.checkpointer.wait()  # files must be complete before reading
+        to_load = {a: p for a, p in want.items() if os.path.exists(p)}
         if not to_load:
             return
         self.params, self.opt_states, self.batch_stats = ckpt.load_all(
@@ -291,7 +301,9 @@ class ChunkRuntime:
         if first is None:
             return ChunkResult(0.0, 0.0, 0.0, 0)
         self.ensure_initialized(chunk, first.feats, first.labs)
+        t0 = time.perf_counter()
         self.restore_from(task.pretrain_files)
+        t_restore = time.perf_counter() - t0
         if task.phase == "train" and epoch_lr:
             for name, lr in epoch_lr.items():
                 if name in self.opt_states:
@@ -448,7 +460,7 @@ class ChunkRuntime:
         return ChunkResult(
             loss_sum / max(n, 1), err_sum / max(n, 1), 0.0, n, frames,
             phases={"h2d": t_h2d, "dispatch": t_disp, "drain": t_drain,
-                    "ckpt_block": t_ckpt},
+                    "ckpt_block": t_ckpt, "restore_wait": t_restore},
         )
 
     def _run_forward(self, task, chunk) -> ChunkResult:
