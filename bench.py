@@ -442,11 +442,20 @@ def main():
     # the knob indistinguishable at TIMIT scale — 11.0 s vs 11.0 s in
     # BENCH_r02 — so the row measured noise)
     e2e = None
+    e2e_cad = None
     if os.environ.get("TPUKALDI_BENCH_E2E", "1") != "0":
         try:
             with _Budget(int(os.environ.get(
                     "TPUKALDI_BENCH_E2E_BUDGET", "2400")), "e2e section"):
                 e2e = bench_e2e_epoch()
+                # ckpt-cadence row, re-added for round 3: round 2 dropped it
+                # as degenerate (11.0 s vs 11.0 s) — the cause was
+                # restore_from joining the async writer on EVERY chunk
+                # start, which equalized the cadences.  With that fix the
+                # knob is load-bearing again (measured 10.0 s -> 6.0 s):
+                # per-epoch cadence removes the per-chunk ~140 MB checkpoint
+                # D2H that contends with train dispatches on the link.
+                e2e_cad = bench_e2e_epoch(ckpt_every=5)
         except TimeoutError as e:
             import sys
 
@@ -493,6 +502,10 @@ def main():
                 if k != "epoch_wall":
                     _emit(f"e2e_phase_{k}_seconds", round(v, 2), "s",
                           round(v / wall, 3))
+    if e2e_cad is not None:
+        _emit("e2e_warm_epoch_seconds_ckpt_per_epoch",
+              round(e2e_cad["epoch_s"], 1), "s",
+              round(87.0 / e2e_cad["epoch_s"], 2))
 
     # headline last (the driver parses the final line)
     _emit("train_frames_per_sec_per_chip_liGRU_fmllr", round(fps, 1),

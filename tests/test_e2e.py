@@ -363,3 +363,63 @@ def test_multistep_fusion_reproduces_unfused(corpus, tmp_path_factory,
     fused = run(str(tmp_path_factory.mktemp("k4")), 4)
     monkeypatch.delenv("TPUKALDI_MULTISTEP", raising=False)
     assert fused == unfused
+
+
+def test_forward_d2h_quantization_knob(corpus, tmp_path_factory, monkeypatch):
+    """TPUKALDI_FORWARD_D2H=float16 quantizes the posteriors on device
+    before the D2H copy (transfer-bound links); the emitted ark must stay
+    float32 on disk with values within f16 quantization of the exact run."""
+    import re
+
+    def run(out, d2h):
+        if d2h:
+            monkeypatch.setenv("TPUKALDI_FORWARD_D2H", d2h)
+        else:
+            monkeypatch.delenv("TPUKALDI_FORWARD_D2H", raising=False)
+        cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=1,
+                        n_chunks=1, batch_size=32, lr=0.2)
+        run_experiment(cfg)
+        ef = os.path.join(out, "exp_files")
+        ark = [f for f in os.listdir(ef) if f.endswith("_to_decode.ark")][0]
+        return dict(read_mat_ark(os.path.join(ef, ark)))
+
+    exact = run(str(tmp_path_factory.mktemp("d2h_f32")), None)
+    quant = run(str(tmp_path_factory.mktemp("d2h_f16")), "float16")
+    monkeypatch.delenv("TPUKALDI_FORWARD_D2H", raising=False)
+    assert set(exact) == set(quant)
+    for k in exact:
+        assert quant[k].dtype == np.float32  # ark is still FM float32
+        assert exact[k].shape == quant[k].shape
+        # f16 has ~2^-11 relative precision; log posteriors are O(10)
+        np.testing.assert_allclose(quant[k], exact[k], atol=0.05, rtol=1e-3)
+        # and the quantization is real: runs are NOT bit-identical
+    assert any((exact[k] != quant[k]).any() for k in exact)
+
+
+def test_restore_from_skips_writer_join_when_resident(corpus,
+                                                      tmp_path_factory):
+    """The rolling train flow keeps state resident; chunk starts must NOT
+    block on the previous chunk's async checkpoint serialize+write (that
+    join gated every chunk and masked the ckpt-cadence knob in round 2)."""
+    from tpukaldi.config import load_config
+    from tpukaldi.train.chunk_runtime import ChunkRuntime
+
+    out = str(tmp_path_factory.mktemp("resjoin"))
+    cfg = write_cfg(corpus, out, arch="MLP", hidden=16, n_epochs=1,
+                    n_chunks=1, batch_size=32, lr=0.2)
+    exp = load_config(cfg)
+    rt = ChunkRuntime(exp)
+    waits = []
+    real_wait = rt.checkpointer.wait
+    rt.checkpointer.wait = lambda: waits.append(1) or real_wait()
+
+    # resident case: pretrain pointers exactly match what mark_saved
+    # recorded -> no join, no load
+    rt._loaded_from = {"MLP_layers1": "/x/ck0.ckpt"}
+    rt.restore_from({"MLP_layers1": "/x/ck0.ckpt"})
+    assert not waits
+
+    # reload case (crash resume / transfer): a differing pointer joins the
+    # writer before checking the file
+    rt.restore_from({"MLP_layers1": "/x/other.ckpt"})
+    assert waits
