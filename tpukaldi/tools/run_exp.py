@@ -320,7 +320,7 @@ def _run_experiment(
                 + "".join(
                     f" {k}={_sum_phase(tr_results + ep_valid_results, k):.2f}"
                     for k in ("h2d", "dispatch", "drain", "ckpt_block",
-                              "restore_wait")
+                              "restore_wait", "host_batch")
                 )
                 + f" driver_other={max(epoch_wall - accounted, 0.0):.2f}"
                 f" epoch_wall={epoch_wall:.2f}\n"

@@ -325,13 +325,16 @@ class ChunkRuntime:
         # copy of the chunk in host RAM for its whole duration)
         gen = self._batches(chunk, batch_size, train, task.seed)
         window: list = []
+        t_hbatch = [0.0]  # host batch assembly (pad/copy in the generator)
 
         def refill():
+            t0 = tick()
             while len(window) < max(K, 1):
                 b = next(gen, None)
                 if b is None:
-                    return
+                    break
                 window.append(b)
+            t_hbatch[0] += tick() - t0
 
         def _stackable(group):
             return all(
@@ -460,7 +463,8 @@ class ChunkRuntime:
         return ChunkResult(
             loss_sum / max(n, 1), err_sum / max(n, 1), 0.0, n, frames,
             phases={"h2d": t_h2d, "dispatch": t_disp, "drain": t_drain,
-                    "ckpt_block": t_ckpt, "restore_wait": t_restore},
+                    "ckpt_block": t_ckpt, "restore_wait": t_restore,
+                    "host_batch": t_hbatch[0]},
         )
 
     def _run_forward(self, task, chunk) -> ChunkResult:
