@@ -276,29 +276,39 @@ def _wait_for_tpu() -> bool:
 
     if jax.default_backend() != "tpu":
         return True
+    # first probe runs IN-PROCESS under the SIGALRM watchdog: on a
+    # standard exclusively-locked TPU VM a child process can never init
+    # the device while this process holds it, so subprocess probes would
+    # misread a healthy chip as wedged.  Only a hang here means a wedge.
+    try:
+        with _Budget(90, "in-process TPU probe"):
+            jax.device_get(jnp.dot(jnp.ones((8, 8)), jnp.ones((8, 8))))
+        return True
+    except TimeoutError:
+        pass
     deadline = time.time() + int(os.environ.get("TPUKALDI_BENCH_WAIT", "1500"))
     probe = ("import jax, jax.numpy as jnp; "
              "print(float(jax.device_get("
              "jnp.dot(jnp.ones((8, 8)), jnp.ones((8, 8)))).sum()))")
-    first = True
     while True:
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            return False
+        # long quiet gaps between probes: killing a probe child mid-RPC
+        # can extend the wedge, so probe sparsely rather than hammer
+        print(f"[bench] TPU compute hangs (known axon wedge); waiting "
+              f"quietly, {int(remaining)}s left in the wait budget",
+              file=sys.stderr)
+        time.sleep(min(150, max(remaining, 1)))
         try:
             subprocess.run(
                 [sys.executable, "-c", probe], timeout=90,
                 check=True, capture_output=True,
             )
-            if not first:
-                print("[bench] TPU recovered; proceeding", file=sys.stderr)
+            print("[bench] TPU recovered; proceeding", file=sys.stderr)
             return True
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            remaining = deadline - time.time()
-            if remaining <= 0:
-                return False
-            print(f"[bench] TPU probe hung/failed (known axon wedge); "
-                  f"waiting quietly, {int(remaining)}s left in the wait "
-                  "budget", file=sys.stderr)
-            first = False
-            time.sleep(min(120, max(remaining, 1)))
+            continue
 
 
 def main():

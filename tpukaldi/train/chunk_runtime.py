@@ -493,11 +493,17 @@ class ChunkRuntime:
         # train/step.py make_forward_step docstring); float32 = exact
         d2h_name = _os.environ.get(
             "TPUKALDI_FORWARD_D2H", "float32").strip().lower()
-        d2h_dtype = {
+        _d2h_table = {
             "float32": None, "f32": None, "": None,
             "float16": jax.numpy.float16, "f16": jax.numpy.float16,
             "bfloat16": jax.numpy.bfloat16, "bf16": jax.numpy.bfloat16,
-        }[d2h_name]
+        }
+        if d2h_name not in _d2h_table:
+            raise ValueError(
+                f"TPUKALDI_FORWARD_D2H={d2h_name!r} is not supported; use "
+                "float32 (exact), float16 or bfloat16"
+            )
+        d2h_dtype = _d2h_table[d2h_name]
         tick = time.perf_counter
         t_h2d = t_disp = t_write = 0.0
 
@@ -531,13 +537,26 @@ class ChunkRuntime:
                 priors and any(p is not None for p in priors.values())
             )
             if want_priors or d2h_dtype is not None:
-                if self._fwd_prior_step is None:
-                    self._fwd_prior_step = make_forward_step(
+                # cache key: the fused constants must match THIS task (a
+                # later forward task may resolve different count files, and
+                # the d2h knob is re-read per chunk) — an unkeyed cache
+                # would silently reuse the first task's baked priors/dtype
+                key = (
+                    d2h_name,
+                    tuple(sorted(
+                        (o, None if p is None
+                         else (p.shape, float(p.sum())))
+                        for o, p in (priors or {}).items()
+                    )) if want_priors else None,
+                )
+                if (self._fwd_prior_step is None
+                        or self._fwd_prior_step[0] != key):
+                    self._fwd_prior_step = (key, make_forward_step(
                         self.graph, compute_dtype=self._compute_dtype(),
                         log_priors=priors if want_priors else None,
                         d2h_dtype=d2h_dtype,
-                    )
-                fwd = self._fwd_prior_step
+                    ))
+                fwd = self._fwd_prior_step[1]
 
             # three-stage software pipeline over (device compute | tunnel
             # D2H | host serialization): batch i+1 computes on device while
@@ -578,15 +597,26 @@ class ChunkRuntime:
             wt.start()
             pending = None
 
+            def _put(item):
+                # werr-aware put: a dead writer never drains the bounded
+                # queue, so a plain blocking put would deadlock the chunk
+                # (e.g. disk-full mid-stage with the writer 2 items behind)
+                while True:
+                    if werr:
+                        raise werr[0]
+                    try:
+                        wq.put(item, timeout=0.5)
+                        return
+                    except queue.Full:
+                        continue
+
             def drain(p):
                 nonlocal t_write
                 outs, names, lengths, B = p
                 t0 = tick()
                 outs_np = {k: np.asarray(v) for k, v in outs.items()}
                 t_write += tick() - t0
-                if werr:
-                    raise werr[0]
-                wq.put((outs_np, names, lengths, B))
+                _put((outs_np, names, lengths, B))
 
             try:
                 for batch in iter_forward_batches(chunk, fwd_bs):
@@ -607,12 +637,28 @@ class ChunkRuntime:
                     if pending is not None:
                         drain(pending)
                     pending = (outs, batch.names, batch.lengths, B)
-                    n += B
-                    frames += T * B
+                    # real utterances / frames only (batches are padded to
+                    # the full batch width; counting T*B would credit the
+                    # fps metric with phantom frames)
+                    n += len(batch.names)
+                    frames += int(sum(_out_lengths(batch.lengths)))
                 if pending is not None:
                     drain(pending)
             finally:
-                wq.put(None)
+                # shutdown that can't hang: a live-but-slow writer gets the
+                # sentinel via a normal put; if the writer died, drop the
+                # queued items (the raised werr aborts the chunk anyway)
+                while True:
+                    try:
+                        wq.put(None, timeout=0.5)
+                        break
+                    except queue.Full:
+                        if werr or not wt.is_alive():
+                            while not wq.empty():
+                                try:
+                                    wq.get_nowait()
+                                except queue.Empty:
+                                    break
                 wt.join()
             if werr:
                 raise werr[0]
