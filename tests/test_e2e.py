@@ -365,6 +365,33 @@ def test_multistep_fusion_reproduces_unfused(corpus, tmp_path_factory,
     assert fused == unfused
 
 
+def test_host_prefetch_reproduces_inline(corpus, tmp_path_factory,
+                                         monkeypatch):
+    """TPUKALDI_HOST_PREFETCH=1 (default) assembles batches on a
+    background thread to overlap with device dispatch; it must reproduce
+    the inline (=0) run's res.res exactly — same batch order, same
+    fold_in dropout indices (chunk_runtime assembly_plan docstring)."""
+    import re
+
+    def run(out, prefetch):
+        monkeypatch.setenv("TPUKALDI_HOST_PREFETCH", prefetch)
+        monkeypatch.setenv("TPUKALDI_MULTISTEP", "3")  # mixed group/single
+        try:
+            cfg = write_cfg(corpus, out, arch="liGRU", hidden=16,
+                            n_epochs=2, n_chunks=2, batch_size=4, lr=0.1)
+            run_experiment(cfg)
+        finally:
+            monkeypatch.delenv("TPUKALDI_HOST_PREFETCH", raising=False)
+            monkeypatch.delenv("TPUKALDI_MULTISTEP", raising=False)
+        lines = [l for l in open(os.path.join(out, "res.res")).read()
+                 .strip().splitlines() if not l.startswith("phases ")]
+        return [re.sub(r"time\(s\)=\d+", "", l) for l in lines]
+
+    inline = run(str(tmp_path_factory.mktemp("pf0")), "0")
+    prefetched = run(str(tmp_path_factory.mktemp("pf1")), "1")
+    assert prefetched == inline
+
+
 def test_forward_d2h_quantization_knob(corpus, tmp_path_factory, monkeypatch):
     """TPUKALDI_FORWARD_D2H=float16 quantizes the posteriors on device
     before the D2H copy (transfer-bound links); the emitted ark must stay

@@ -39,6 +39,62 @@ from .step import (make_eval_multistep, make_eval_step, make_forward_step,
                    make_train_step, make_train_multistep)
 
 
+def _prefetch_iter(it, depth: int = 2):
+    """Run iterator `it` on a background thread, keeping up to `depth`
+    items ready ahead of the consumer.
+
+    Used to overlap host batch assembly (generator pad/copy + K-group
+    np.stack — pure memcpy that releases the GIL) with the consumer's
+    device dispatch/transfer RPCs, which block in GIL-releasing network
+    waits on a tunneled TPU.  On a single-core host this converts the two
+    serialized phases into one max(); ordering is preserved exactly, so
+    results stay bit-identical to inline iteration.
+
+    Producer exceptions re-raise at the consumer's next pull; a consumer
+    that stops early (exception / early return) unblocks the producer via
+    the stop flag in the generator's `finally`.
+    """
+    import queue as _queue
+    import threading as _threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(depth, 1))
+    stop = _threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def _run():
+        try:
+            for x in it:
+                if not _put(("item", x)):
+                    return
+            _put(("done", None))
+        except BaseException as e:  # surfaced on the consumer thread
+            _put(("err", e))
+
+    t = _threading.Thread(
+        target=_run, daemon=True, name="tpukaldi-host-assembler"
+    )
+    t.start()
+    try:
+        while True:
+            kind, payload = q.get()
+            if kind == "item":
+                yield payload
+            elif kind == "done":
+                return
+            else:
+                raise payload
+    finally:
+        stop.set()
+
+
 @dataclass
 class ChunkResult:
     loss: float
@@ -324,17 +380,9 @@ class ChunkRuntime:
         # padded batch of the chunk (which would hold a second full padded
         # copy of the chunk in host RAM for its whole duration)
         gen = self._batches(chunk, batch_size, train, task.seed)
-        window: list = []
-        t_hbatch = [0.0]  # host batch assembly (pad/copy in the generator)
-
-        def refill():
-            t0 = tick()
-            while len(window) < max(K, 1):
-                b = next(gen, None)
-                if b is None:
-                    break
-                window.append(b)
-            t_hbatch[0] += tick() - t0
+        t_hbatch = [0.0]  # host batch assembly (pad/copy/stack), possibly
+        # overlapped with dispatch by the prefetch thread — NOT additive
+        # with the other phases when prefetch is on
 
         def _stackable(group):
             return all(
@@ -342,6 +390,51 @@ class ChunkRuntime:
                 and b.labs.shape == group[0].labs.shape
                 for b in group
             )
+
+        def assembly_plan():
+            """Yield host-ready work items in dispatch order: ("group",
+            feats_k, labs_k, n_valid_k, base_index) for a K-fused
+            same-shape group (numpy, host-stacked), else ("single", batch,
+            index).  Pure host work — safe on a background thread; the
+            ordering and the indices that seed per-batch dropout keys are
+            identical to inline iteration, so prefetching it is
+            bit-transparent."""
+            window: list = []
+            idx = 0
+            while True:
+                t0 = tick()
+                while len(window) < max(K, 1):
+                    b = next(gen, None)
+                    if b is None:
+                        break
+                    window.append(b)
+                t_hbatch[0] += tick() - t0
+                if not window:
+                    return
+                if K > 1 and len(window) >= K and _stackable(window[:K]):
+                    group = window[:K]
+                    del window[:K]
+                    t0 = tick()
+                    feats_k = np.stack([b.feats for b in group])
+                    labs_k = np.stack([b.labs for b in group])
+                    n_valid_k = (
+                        np.asarray(
+                            [b.n_valid_t or b.feats.shape[0] for b in group],
+                            dtype=np.int32,
+                        )
+                        if self.seq_model
+                        else None
+                    )
+                    t_hbatch[0] += tick() - t0
+                    yield ("group", feats_k, labs_k, n_valid_k, idx)
+                    idx += K
+                else:
+                    yield ("single", window.pop(0), idx)
+                    idx += 1
+
+        items = assembly_plan()
+        if os.environ.get("TPUKALDI_HOST_PREFETCH", "1") != "0":
+            items = _prefetch_iter(items, depth=2)
 
         n_batches = max(
             (chunk.n_sentences if self.seq_model else chunk.n_frames)
@@ -351,28 +444,22 @@ class ChunkRuntime:
         show_progress = sys.stdout.isatty() and os.environ.get(
             "TPUKALDI_PROGRESS", "1"
         ) != "0"
-        i = 0
-        refill()
-        while window:
-            # fuse K consecutive same-shape batches into one dispatch
-            if K > 1 and len(window) >= K and _stackable(window[:K]):
-                group = window[:K]
-                del window[:K]
+        for item in items:
+            if item[0] == "group":
+                _, feats_np, labs_np, n_valid_np, base = item
                 t0 = tick()
-                feats_k = jax.numpy.asarray(
-                    np.stack([b.feats for b in group])
+                feats_k = jax.numpy.asarray(feats_np)
+                labs_k = jax.numpy.asarray(labs_np)
+                n_valid_k = (
+                    jax.numpy.asarray(n_valid_np)
+                    if n_valid_np is not None else None
                 )
-                labs_k = jax.numpy.asarray(np.stack([b.labs for b in group]))
-                n_valid_k = jax.numpy.asarray(
-                    [b.n_valid_t or b.feats.shape[0] for b in group],
-                    dtype=jax.numpy.int32,
-                ) if self.seq_model else None
                 t_h2d += tick() - t0
                 t0 = tick()
                 if train:
                     rngs_k = jax.vmap(
                         lambda j: jax.random.fold_in(chunk_key, j)
-                    )(jax.numpy.arange(i, i + K))
+                    )(jax.numpy.arange(base, base + K))
                     (self.params, self.batch_stats, self.opt_states,
                      loss_k, err_k) = self._train_multistep(
                         self.params, self.batch_stats, self.opt_states,
@@ -387,21 +474,16 @@ class ChunkRuntime:
                 losses.append(loss_k)
                 errs.append(err_k)
                 n += K
-                frames += feats_k.shape[0] * (
-                    feats_k.shape[1] * feats_k.shape[2]
-                    if feats_k.ndim == 4 else feats_k.shape[1]
+                frames += feats_np.shape[0] * (
+                    feats_np.shape[1] * feats_np.shape[2]
+                    if feats_np.ndim == 4 else feats_np.shape[1]
                 )
-                i += K
-                refill()
                 if show_progress:
                     label = "Training" if train else "Validating"
                     print(f"\r{label} | (Batch {n}/{n_batches})",
                           end="", flush=True)
                 continue
-            batch = window.pop(0)
-            batch_index = i
-            i += 1
-            refill()
+            _, batch, batch_index = item
             t0 = tick()
             feats = jax.numpy.asarray(batch.feats)
             labs = jax.numpy.asarray(batch.labs)
