@@ -1,0 +1,55 @@
+"""Unit tests for the host batch-assembly prefetch iterator
+(`chunk_runtime._prefetch_iter`): ordering, producer-exception
+propagation, and early-consumer-exit unblocking (the producer must not
+stay wedged on its bounded queue when the consumer abandons iteration)."""
+
+import threading
+import time
+
+import pytest
+
+from tpukaldi.train.chunk_runtime import _prefetch_iter
+
+
+def test_preserves_order_and_exhausts():
+    assert list(_prefetch_iter(iter(range(50)), depth=2)) == list(range(50))
+
+
+def test_empty_iterator():
+    assert list(_prefetch_iter(iter(()), depth=2)) == []
+
+
+def test_producer_exception_reraises_at_consumer():
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError("assembly failed")
+
+    it = _prefetch_iter(gen(), depth=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(RuntimeError, match="assembly failed"):
+        list(it)
+
+
+def test_early_consumer_exit_unblocks_producer():
+    produced = []
+    done = threading.Event()
+
+    def gen():
+        try:
+            for i in range(1000):
+                produced.append(i)
+                yield i
+        finally:
+            done.set()
+
+    it = _prefetch_iter(gen(), depth=2)
+    assert next(it) == 0
+    it.close()  # consumer abandons; stop flag must release the producer
+    # the producer thread notices within its 0.2 s put timeout
+    deadline = time.time() + 5
+    while not done.is_set() and time.time() < deadline:
+        time.sleep(0.05)
+    assert done.is_set(), "producer thread stayed blocked after close()"
+    assert len(produced) < 1000
