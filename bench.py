@@ -197,6 +197,24 @@ def bench_zoo():
     rng = np.random.default_rng(1)
     rows = []
 
+    # TIMIT MLP mfcc recipe (TIMIT_MLP_mfcc_basic.cfg): 4x1024 relu+bn,
+    # drop 0.15, softmax cd head, batch 128, 13-dim mfcc x 11-frame context
+    # window = 143 input.  THIS is the arch behind BASELINE_FPS (the 87 s
+    # res.res trace is an MLP epoch), so this row is the one direct
+    # apples-to-apples baseline multiple; iters=50 because a 128-frame
+    # step is dispatch-latency-dominated over the tunnel otherwise.
+    mlp_body = MLP(
+        options=_mlp_opts("1024,1024,1024,1024", ",".join(["relu"] * 4),
+                          bn=",".join(["True"] * 4),
+                          drop=",".join(["0.15"] * 4)),
+        inp_dim=143,
+    )
+    mlp_head = MLP(options=_mlp_opts(str(N_CD), "softmax"),
+                   inp_dim=mlp_body.out_dim)
+    x = jnp.asarray(rng.standard_normal((128, 143)), jnp.float32)
+    fps = measure_train_fps(mlp_body, mlp_head, N_CD, x, iters=50)
+    rows.append(("train_frames_per_sec_per_chip_mlp_mfcc", fps))
+
     def seq_opts(prefix, H, L, act):
         return {
             f"{prefix}_lay": ",".join([str(H)] * L),
