@@ -316,6 +316,62 @@ opt_dampening = 0.0
 opt_nesterov = False
 """
 
+# frame-mode CNN over the spliced feature vector treated as a 1-D signal,
+# mirroring cfg/TIMIT_baselines/TIMIT_CNN_fbank.cfg (laynorm per layer, relu;
+# its (filt,time)-shaped LayerNorm is the reference's quirky recipe path) +
+# the MLP softmax classifier.  Filter/pool sizes are scaled down to the
+# synthetic tree's 195-dim spliced input (13 mfcc x3 deltas x5 splice).
+_CNN_ARCH = """[architecture1]
+arch_name = CNN_layers
+arch_proto = proto/CNN.proto
+arch_library = {library}
+arch_class = CNN
+arch_pretrain_file = {pretrain1}
+arch_freeze = False
+arch_seq_model = False
+cnn_N_filt = 5,6
+cnn_len_filt = 12,5
+cnn_max_pool_len = 3,2
+cnn_use_laynorm_inp = False
+cnn_use_batchnorm_inp = False
+cnn_use_laynorm = True,True
+cnn_use_batchnorm = False,False
+cnn_act = relu,relu
+cnn_drop = 0.0,0.0
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture2]
+arch_name = MLP_softmax
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = {pretrain2}
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = {n_pdfs}
+dnn_drop = 0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = False
+dnn_use_laynorm = False
+dnn_act = softmax
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+"""
+
 _RECURRENT_ARCH = """[architecture1]
 arch_name = {cls}_layers
 arch_proto = proto/{cls}.proto
@@ -385,6 +441,13 @@ _MODEL = {
         "out_dnn1",
     ),
 }
+_MODEL["CNN"] = (
+    "out_dnn1=compute(CNN_layers,mfcc)\n"
+    "\tout_dnn2=compute(MLP_softmax,out_dnn1)\n"
+    "\tloss_final=cost_nll(out_dnn2,lab_cd)\n"
+    "\terr_final=cost_err(out_dnn2,lab_cd)",
+    "out_dnn2",
+)
 for _cls in RECURRENT_SPECS:
     _MODEL[_cls] = (
         f"out_dnn1=compute({_cls}_layers,mfcc)\n"
@@ -501,6 +564,8 @@ def write_parity_cfg(
     library = "neural_networks" if side == "reference" else "tpukaldi.models"
     if arch == "MLP":
         template = _MLP_ARCH
+    elif arch == "CNN":
+        template = _CNN_ARCH
     else:
         prefix, act = RECURRENT_SPECS[arch]
         template = _RECURRENT_ARCH.format(cls=arch, prefix=prefix, act=act)
@@ -604,6 +669,10 @@ def run_reference_forward_chunk(
 # tpukaldi by arch_name (plan/planner.py final_ckpts)
 ARCH_CLASSES = {
     "MLP": (("architecture1", "MLP_layers1", "MLP"),),
+    "CNN": (
+        ("architecture1", "CNN_layers", "CNN"),
+        ("architecture2", "MLP_softmax", "MLP"),
+    ),
 }
 for _cls in RECURRENT_SPECS:
     ARCH_CLASSES[_cls] = (
