@@ -238,26 +238,29 @@ def bench_zoo():
         fps = measure_train_fps(body, head, N_CD, x)
         rows.append((f"train_frames_per_sec_per_chip_{name}_fmllr", fps))
 
-    # TIMIT SincNet raw recipe: 80/60/60 filters over 200ms windows
-    # (3200 samples @16k), frame mode, batch 128, 2048x2 MLP head
+    # TIMIT SincNet raw recipe (TIMIT_SincNet_raw.cfg, exact arch):
+    # 128/60/60/60 sinc+conv filters with per-layer (filt,time) laynorm
+    # over 200ms windows (3200 samples @16k), frame mode, batch 128,
+    # 5x1024 relu+bn MLP + softmax cd head
     sinc = SincNet(
         options={
-            "sinc_n_filt": "80,60,60", "sinc_len_filt": "129,5,3",
-            "sinc_max_pool_len": "3,3,3", "sinc_sample_rate": "16000",
+            "sinc_n_filt": "128,60,60,60", "sinc_len_filt": "129,5,5,3",
+            "sinc_max_pool_len": "3,3,3,2", "sinc_sample_rate": "16000",
             "sinc_min_low_hz": "50", "sinc_min_band_hz": "50",
             "sinc_use_laynorm_inp": "True",
             "sinc_use_batchnorm_inp": "False",
-            "sinc_use_laynorm": "True,True,True",
-            "sinc_use_batchnorm": "False,False,False",
-            "sinc_act": "leaky_relu,leaky_relu,leaky_relu",
-            "sinc_drop": "0.0,0.0,0.0",
+            "sinc_use_laynorm": "True,True,True,True",
+            "sinc_use_batchnorm": "False,False,False,False",
+            "sinc_act": "relu,relu,relu,relu",
+            "sinc_drop": "0.15,0.15,0.15,0.15",
         },
         inp_dim=3200,
     )
     head = MLP(
-        options=_mlp_opts(f"2048,2048,{N_CD}",
-                          "leaky_relu,leaky_relu,softmax",
-                          bn="True,True,False"),
+        options=_mlp_opts(f"1024,1024,1024,1024,1024,{N_CD}",
+                          ",".join(["relu"] * 5) + ",softmax",
+                          bn=",".join(["True"] * 5) + ",False",
+                          drop=",".join(["0.15"] * 5) + ",0.0"),
         inp_dim=sinc.out_dim,
     )
     x = jnp.asarray(rng.standard_normal((128, 3200)), jnp.float32)
