@@ -35,8 +35,15 @@ def test_posterior_ark_parity(arch, tmp_path_factory):
     assert max_abs < TOL, f"max-abs-diff {max_abs:.3e} over {TOL}: {per_utt}"
 
 
-@pytest.mark.parametrize("arch,n_epochs", [("MLP", 4), ("liGRU", 3)])
-def test_training_trajectory_parity(arch, n_epochs, tmp_path_factory):
+@pytest.mark.parametrize("arch,n_epochs,opt,lr", [
+    ("MLP", 4, "sgd", 0.02),
+    ("liGRU", 3, "sgd", 0.02),
+    # the flagship recipe's actual optimizer (TIMIT_liGRU_fmllr.cfg trains
+    # with rmsprop): torch-RMSprop-vs-optax semantics verified at the
+    # trajectory level, not just per-step
+    ("liGRU", 3, "rmsprop", 0.002),
+])
+def test_training_trajectory_parity(arch, n_epochs, opt, lr, tmp_path_factory):
     """Common-init training trajectories (VERDICT r2 #4): both frameworks
     start from the same reference-initialized weights, train on the same
     corpus with the same sgd/new-bob hyperparameters, and must land on the
@@ -44,8 +51,9 @@ def test_training_trajectory_parity(arch, n_epochs, tmp_path_factory):
     decisions.  Bit equality is impossible (the frame-shuffle RNGs differ
     by design); the tolerances are several times the observed gap
     (MLP <= 0.06 abs train-loss, liGRU <= 0.03)."""
-    work = str(tmp_path_factory.mktemp(f"traj_{arch}"))
-    ref, tpu = rh.run_trajectory_parity(work, arch=arch, n_epochs=n_epochs)
+    work = str(tmp_path_factory.mktemp(f"traj_{arch}_{opt}"))
+    ref, tpu = rh.run_trajectory_parity(
+        work, arch=arch, n_epochs=n_epochs, opt=opt, lr=lr)
     assert len(ref) == n_epochs and len(tpu) == n_epochs
     # identical new-bob annealing decisions (reference run_exp.py:374-384)
     assert [r["lrs"] for r in ref] == [t["lrs"] for t in tpu]

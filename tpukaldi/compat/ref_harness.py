@@ -554,13 +554,17 @@ def write_parity_cfg(
     production: bool = False,
     run_nn_script: str = "run_nn",
     pretrain: Tuple[str, str] = ("none", "none"),
+    opt: str = "sgd",
 ) -> str:
     """One experiment cfg in the shared INI dialect.  `side` picks the
     model zoo: 'reference' -> torch `neural_networks`, 'tpukaldi' -> flax
     `tpukaldi.models`.  `production=True` adds a label-free forward set
     (posterior emission from pre-seeded final checkpoints).  `pretrain`
     fills arch_pretrain_file per architecture section (common-init
-    trajectory comparisons)."""
+    trajectory comparisons).  `opt` switches every architecture's
+    optimizer block: 'sgd' (templates' default) or 'rmsprop' with the
+    flagship recipe's hyperparameters (TIMIT_liGRU_fmllr.cfg:
+    alpha 0.95, eps 1e-8, centered False)."""
     library = "neural_networks" if side == "reference" else "tpukaldi.models"
     if arch == "MLP":
         template = _MLP_ARCH
@@ -573,6 +577,22 @@ def write_parity_cfg(
         library=library, n_pdfs=tree.n_pdfs, lr=lr,
         pretrain1=pretrain[0], pretrain2=pretrain[1],
     )
+    if opt == "rmsprop":
+        arch_sections = arch_sections.replace(
+            "arch_opt = sgd\n"
+            "opt_momentum = 0.0\n"
+            "opt_weight_decay = 0.0\n"
+            "opt_dampening = 0.0\n"
+            "opt_nesterov = False",
+            "arch_opt = rmsprop\n"
+            "opt_momentum = 0.0\n"
+            "opt_alpha = 0.95\n"
+            "opt_eps = 1e-8\n"
+            "opt_centered = False\n"
+            "opt_weight_decay = 0.0",
+        )
+    elif opt != "sgd":
+        raise ValueError(f"unsupported parity-cfg optimizer {opt!r}")
     model, forward_out = _MODEL[arch]
     datasets = []
     for idx, (name, split) in enumerate(
@@ -828,6 +848,7 @@ def run_trajectory_parity(
     batch_size: int = 8,
     n_utts=(24, 8, 6),
     noise: float = 1.6,
+    opt: str = "sgd",
 ) -> Tuple[List[Dict[str, object]], List[Dict[str, object]]]:
     """Common-init training-trajectory comparison (VERDICT r2 #4).
 
@@ -848,9 +869,14 @@ def run_trajectory_parity(
     stubs = make_stub_bin_dir(os.path.join(workdir, "bin"))
 
     init_out = os.path.join(workdir, "ref_init")
+    # the init run must use the SAME optimizer as the trajectory runs: the
+    # reference's pretrain restore loads the optimizer state dict saved in
+    # the pkl (core.py optimizer load), and torch's load_state_dict adopts
+    # the saved param groups wholesale — an sgd-saved group into rmsprop
+    # crashes on the missing 'alpha' hyperparameter
     init_cfg = write_parity_cfg(
         tree, init_out, os.path.join(workdir, "ref_init.cfg"), "reference",
-        arch=arch, n_epochs=1, lr=lr, batch_size=batch_size,
+        arch=arch, n_epochs=1, lr=lr, batch_size=batch_size, opt=opt,
     )
     proc = run_reference_experiment(init_cfg, stubs)
     pretrain_pkls = []
@@ -868,7 +894,7 @@ def run_trajectory_parity(
     ref_cfg = write_parity_cfg(
         tree, ref_out, os.path.join(workdir, "ref_traj.cfg"), "reference",
         arch=arch, n_epochs=n_epochs, pretrain=tuple(pretrain_pkls),
-        lr=lr, batch_size=batch_size,
+        lr=lr, batch_size=batch_size, opt=opt,
     )
     proc = run_reference_experiment(ref_cfg, stubs)
     ref_res = os.path.join(ref_out, "res.res")
@@ -893,7 +919,7 @@ def run_trajectory_parity(
     tpu_cfg = write_parity_cfg(
         tree, tpu_out, os.path.join(workdir, "tpu_traj.cfg"), "tpukaldi",
         arch=arch, n_epochs=n_epochs, pretrain=tuple(ckpts),
-        lr=lr, batch_size=batch_size,
+        lr=lr, batch_size=batch_size, opt=opt,
     )
     from ..tools.run_exp import run_experiment
 

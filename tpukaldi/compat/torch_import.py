@@ -17,9 +17,14 @@ tests/test_reference_model_parity.py):
   feature-wise batchnorm, so per-gate BN vectors concatenate in the cell's
   FF_GATES order.
 
-Optimizer state is NOT imported (torch SGD/Adam moments don't map onto
-optax pytrees 1:1); fine-tuning restarts the optimizer, matching what the
-reference itself does when `arch_pretrain_file` points across experiments.
+Optimizer state IS imported when the pkl carries `optimizer_par` (every
+per-chunk reference save does, core.py:719): per-parameter moments
+transform exactly like their weights, so rmsprop square_avg / adam
+exp_avg(_sq) / sgd momentum buffers are routed through the same layout
+mapping and grafted into the matching optax state — a mid-training torch
+run resumes here with its optimizer history intact, mirroring the
+reference's own pretrain restore (core.py:532).  Unmappable states degrade
+to a params-only import with a warning instead of crashing.
 
 CLI:
     python -m tpukaldi.compat.torch_import <ref.pkl> <out.ckpt> <ArchClass>
@@ -325,11 +330,176 @@ def convert_pase_checkpoint_file(
     return params, stats
 
 
+# state_dict entries that are torch buffers, not parameters: filtering them
+# out of a model_par recovers the named_parameters() order, which is the
+# order torch optimizers key their per-parameter state by (param_groups[0]
+# ["params"] is list(range(n_params)) in state_dict form)
+_BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def _param_name_order(model_par: Dict[str, Any]) -> list:
+    return [
+        k for k in model_par
+        if not any(k.endswith(s) for s in _BUFFER_SUFFIXES)
+    ]
+
+
+def _torch_group_kind(group: Dict[str, Any]) -> Optional[str]:
+    if "alpha" in group:
+        return "rmsprop"
+    if "betas" in group or "amsgrad" in group:
+        return "adam"
+    if "nesterov" in group or "dampening" in group:
+        return "sgd"
+    return None
+
+
+def _graft_moments(state, replaces: Dict[str, Any], count=None):
+    """Functionally replace moment fields (by namedtuple field name) inside
+    an optax state tree: 'nu'/'mu' (rms/adam/stddev), 'trace' (momentum).
+    `count` overwrites every integer step counter (adam bias correction)."""
+    import jax.numpy as jnp
+
+    def rec(s):
+        if hasattr(s, "_fields"):  # optax states are namedtuples
+            vals = []
+            for f in s._fields:
+                v = getattr(s, f)
+                if f in replaces and replaces[f] is not None:
+                    vals.append(replaces[f])
+                elif f == "count" and count is not None:
+                    vals.append(jnp.asarray(count, dtype=jnp.int32))
+                else:
+                    vals.append(rec(v))
+            return type(s)(*vals)
+        if isinstance(s, tuple):
+            return tuple(rec(x) for x in s)
+        if isinstance(s, list):
+            return [rec(x) for x in s]
+        return s
+
+    return rec(state)
+
+
+def import_optimizer_par(
+    model_par: Dict[str, Any],
+    optimizer_par: Dict[str, Any],
+    class_name: str,
+    params: Dict[str, Any],
+) -> Optional[Any]:
+    """Map a reference optimizer state_dict (`optimizer_par`, saved per
+    chunk at core.py:719) onto the matching optax state, so a mid-training
+    torch run resumes in tpukaldi with its momentum/second-moment history
+    intact — the reference itself restores this state on every pretrain
+    load (core.py:532).
+
+    The per-parameter moment tensors transform exactly like their weights
+    (transpose, per-gate fusion), so each moment state_dict is routed
+    through `import_model_par` and grafted into a freshly initialized
+    optax state built from the pkl's own param_groups hyperparameters.
+    Returns None when there is nothing to import (e.g. momentum-0 sgd,
+    whose torch state is empty)."""
+    state = optimizer_par.get("state") or {}
+    groups = optimizer_par.get("param_groups") or []
+    if not groups:
+        return None
+    g = groups[0]
+    kind = _torch_group_kind(g)
+    if kind is None:
+        return None
+    names = _param_name_order(model_par)
+    idxs = list(g.get("params", []))
+    if len(idxs) != len(names):
+        raise ValueError(
+            f"optimizer group tracks {len(idxs)} params but model_par has "
+            f"{len(names)} parameter tensors"
+        )
+
+    def moment_tree(key) -> Optional[Dict[str, Any]]:
+        """One moment (e.g. square_avg) arranged as a params-shaped tree."""
+        seen = False
+        msd: Dict[str, Any] = {
+            k: v for k, v in model_par.items()
+            if any(k.endswith(s) for s in _BUFFER_SUFFIXES)
+        }
+        for pos, idx in enumerate(idxs):
+            st = state.get(idx, state.get(str(idx), {}))
+            if key in st:
+                msd[names[pos]] = st[key]
+                seen = True
+            else:
+                msd[names[pos]] = np.zeros_like(_np(model_par[names[pos]]))
+        if not seen:
+            return None
+        tree, _ = import_model_par(msd, class_name)
+        return tree
+
+    # build the same optax chain train/optimizers.py would for this
+    # optimizer config, then graft the torch moments into its state
+    from types import SimpleNamespace
+
+    from ..train.optimizers import make_optimizer
+
+    optd: Dict[str, Any] = {"opt_weight_decay": g.get("weight_decay", 0.0)}
+    if kind == "rmsprop":
+        optd.update(
+            opt_alpha=g.get("alpha", 0.99), opt_eps=g.get("eps", 1e-8),
+            opt_centered=g.get("centered", False),
+            opt_momentum=g.get("momentum", 0.0),
+        )
+        replaces = {
+            "nu": moment_tree("square_avg"),
+            "mu": moment_tree("grad_avg"),       # centered variant
+            "trace": moment_tree("momentum_buffer"),
+        }
+    elif kind == "adam":
+        optd.update(
+            opt_betas=list(g.get("betas", (0.9, 0.999))),
+            opt_eps=g.get("eps", 1e-8), opt_amsgrad=g.get("amsgrad", False),
+        )
+        replaces = {
+            "mu": moment_tree("exp_avg"),
+            "nu": moment_tree("exp_avg_sq"),
+            "nu_max": moment_tree("max_exp_avg_sq"),  # amsgrad
+        }
+    else:  # sgd
+        optd.update(
+            opt_momentum=g.get("momentum", 0.0),
+            opt_nesterov=g.get("nesterov", False),
+            opt_dampening=g.get("dampening", 0.0),
+        )
+        replaces = {"trace": moment_tree("momentum_buffer")}
+    if not any(v is not None for v in replaces.values()):
+        return None  # stateless (e.g. plain sgd): nothing to carry over
+
+    count = None
+    for st in state.values():
+        if "step" in st:
+            count = int(_np(st["step"]).reshape(-1)[0])
+            break
+
+    arch = SimpleNamespace(
+        name=f"torch-import-{kind}", lr=[float(g.get("lr", 1e-3))],
+        options={}, optimizer=SimpleNamespace(kind=kind, options=optd),
+    )
+    state0 = make_optimizer(arch).init(params)
+    return _graft_moments(state0, replaces, count=count)
+
+
 def convert_checkpoint_file(
     pkl_path: str, out_ckpt: str, class_name: str
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Read a reference .pkl and write a tpukaldi .ckpt usable as
-    `arch_pretrain_file`.  Returns the (params, batch_stats) trees."""
+    `arch_pretrain_file`.  Returns the (params, batch_stats) trees.
+
+    When the pkl carries `optimizer_par` (every per-chunk reference save
+    does), the optimizer moments are converted too, so resuming a
+    mid-training reference run keeps its rmsprop/adam/momentum history —
+    the same semantics the reference applies to its own pretrain files
+    (core.py:523-535).  If the moments cannot be mapped (exotic optimizer,
+    layout mismatch) the checkpoint is written params-only with a warning;
+    loading against a different cfg optimizer likewise degrades to a fresh
+    optimizer instead of crashing (train/checkpoint.py restore_opt)."""
     import torch
 
     from ..train.checkpoint import save_checkpoint
@@ -337,7 +507,18 @@ def convert_checkpoint_file(
     blob = torch.load(pkl_path, map_location="cpu", weights_only=True)
     sd = blob["model_par"] if "model_par" in blob else blob
     params, stats = import_model_par(sd, class_name)
-    save_checkpoint(out_ckpt, params, opt_state=None, batch_stats=stats)
+    opt_state = None
+    if isinstance(blob, dict) and blob.get("optimizer_par"):
+        try:
+            opt_state = import_optimizer_par(
+                sd, blob["optimizer_par"], class_name, params)
+        except Exception as e:  # noqa: BLE001 — params still convert
+            print(
+                f"[torch_import] optimizer state not imported ({e}); "
+                "fine-tuning restarts the optimizer",
+                file=sys.stderr,
+            )
+    save_checkpoint(out_ckpt, params, opt_state=opt_state, batch_stats=stats)
     return params, stats
 
 

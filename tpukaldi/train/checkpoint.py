@@ -60,9 +60,27 @@ def load_checkpoint(
             return template if not tree and template is not None else tree
         return serialization.from_state_dict(template, tree)
 
+    def restore_opt(tree, template):
+        # an imported checkpoint can carry optimizer state from a DIFFERENT
+        # optimizer than the cfg's (e.g. a torch rmsprop .pkl fine-tuned
+        # with sgd): the reference crashes on that (torch load_state_dict
+        # adopts the saved param groups, core.py:532); here the moments are
+        # dropped with a warning and the cfg's fresh optimizer state stands
+        try:
+            return restore(tree, template)
+        except (KeyError, ValueError, TypeError) as e:
+            import sys
+
+            print(
+                f"[checkpoint] optimizer state in {path} does not match the "
+                f"configured optimizer ({e}); restarting the optimizer",
+                file=sys.stderr,
+            )
+            return template
+
     return (
         restore(payload["params"], params_template),
-        restore(payload["opt_state"], opt_state_template),
+        restore_opt(payload["opt_state"], opt_state_template),
         restore(payload["batch_stats"], batch_stats_template),
     )
 
