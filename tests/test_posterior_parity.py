@@ -27,7 +27,13 @@ from tpukaldi.compat import ref_harness as rh
 TOL = 1e-4  # BASELINE.json posterior max-abs-diff contract
 
 
-@pytest.mark.parametrize("arch", ["MLP", "CNN", "liGRU", "GRU", "LSTM"])
+@pytest.mark.parametrize(
+    "arch",
+    ["MLP", "CNN", "SincNet", "liGRU", "GRU", "LSTM", "QLSTM",
+     # "best" = the published-best TIMIT ensemble composition (3 feature
+     # streams, dual cd+mono labels, 5 architectures, joint loss);
+     # "ae" = the autoencoder (mse op, un-normalized forward ark)
+     "best", "ae"])
 def test_posterior_ark_parity(arch, tmp_path_factory):
     work = str(tmp_path_factory.mktemp(f"parity_{arch}"))
     max_abs, per_utt = rh.run_posterior_parity(work, arch=arch)

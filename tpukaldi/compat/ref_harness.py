@@ -372,6 +372,304 @@ opt_dampening = 0.0
 opt_nesterov = False
 """
 
+# raw-waveform SincNet, mirroring cfg/TIMIT_baselines/TIMIT_SincNet_raw.cfg
+# (sinc front-end + per-layer (filt,time) laynorm + relu, rmsprop-trainable,
+# arch_name CNN_layers exactly like the recipe) + the MLP softmax head.
+# Filter/pool sizes are scaled to the synthetic tree's 400-sample windows
+# (the recipe's save_raw_fea.py windows wavs into (frames, 3200) arks and
+# feeds them as frame features with cw 0/0 — same composition, smaller dim).
+_SINC_ARCH = """[architecture1]
+arch_name = CNN_layers
+arch_proto = proto/SincNet.proto
+arch_library = {library}
+arch_class = SincNet
+arch_pretrain_file = {pretrain1}
+arch_freeze = False
+arch_seq_model = False
+sinc_n_filt = 8,6,6
+sinc_len_filt = 65,5,3
+sinc_max_pool_len = 3,2,2
+sinc_use_laynorm_inp = True
+sinc_use_batchnorm_inp = False
+sinc_use_laynorm = True,True,True
+sinc_use_batchnorm = False,False,False
+sinc_act = relu,relu,relu
+sinc_drop = 0.0,0.0,0.0
+sinc_sample_rate = 16000
+sinc_min_low_hz = 50
+sinc_min_band_hz = 50
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture2]
+arch_name = MLP_softmax
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = {pretrain2}
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = {n_pdfs}
+dnn_drop = 0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = False
+dnn_use_laynorm = False
+dnn_act = softmax
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+"""
+
+# autoencoder (TIMIT_MLP_fbank_autoencoder.cfg): bn-relu + linear
+# bottleneck encoder, decoder reconstructing the spliced features,
+# `mse(dec_out, fbank)` loss, forward_out = the UN-normalized bottleneck
+# (normalize_posteriors=False) — measures the mse DSL op, cost-vs-feature
+# wiring, and the raw forward-ark path
+_AE_ARCH = """[architecture1]
+arch_name = MLP_encoder
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = {pretrain1}
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = 24,8
+dnn_drop = 0.0,0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = True,True
+dnn_use_laynorm = False,False
+dnn_act = relu,linear
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture2]
+arch_name = MLP_decoder
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = {pretrain2}
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = 24,{spliced_dim}
+dnn_drop = 0.0,0.0
+dnn_use_batchnorm = True,False
+dnn_use_laynorm = False,False
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_act = relu,linear
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+"""
+
+# the published-best TIMIT ensemble (13.8% PER): 3 feature streams
+# (mfcc+deltas / fbank / fmllr) concatenated, MLP -> bidir liGRU(bn) ->
+# MLP -> two softmax heads (cd + mono) joined by
+# `sum(cost_nll_cd, mult_constant(cost_nll_mono, 1.0))`
+# (cfg/TIMIT_baselines/TIMIT_mfcc_fbank_fmllr_liGRU_best.cfg) — the richest
+# DSL/loader composition in the reference, scaled to parity size
+_BEST_ARCH = """[architecture1]
+arch_name = MLP_layers_first
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = {pretrain1}
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = 16
+dnn_drop = 0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = True
+dnn_use_laynorm = False
+dnn_act = leaky_relu
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture2]
+arch_name = liGRU_layers
+arch_proto = proto/liGRU.proto
+arch_library = {library}
+arch_class = liGRU
+arch_pretrain_file = none
+arch_freeze = False
+arch_seq_model = True
+ligru_lay = 16,16
+ligru_drop = 0.0,0.0
+ligru_use_laynorm_inp = False
+ligru_use_batchnorm_inp = False
+ligru_use_laynorm = False,False
+ligru_use_batchnorm = True,True
+ligru_bidir = True
+ligru_act = relu,relu
+ligru_orthinit = True
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture3]
+arch_name = MLP_layers_second
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = none
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = 16
+dnn_drop = 0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = True
+dnn_use_laynorm = False
+dnn_act = leaky_relu
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture4]
+arch_name = MLP_layers_last
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = {pretrain2}
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = {n_pdfs}
+dnn_drop = 0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = False
+dnn_use_laynorm = False
+dnn_act = softmax
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture5]
+arch_name = MLP_layers_last2
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = none
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = {n_mono}
+dnn_drop = 0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = False
+dnn_use_laynorm = False
+dnn_act = softmax
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+"""
+
+# quaternion LSTM over 4 concatenated mfcc streams, mirroring
+# cfg/DIRHA_baselines/DIRHA_QLSTM_MFCC.cfg (arch_library
+# quaternion_neural_networks, tanh acts, bidir, MLP softmax head).
+# autograd=True picks the reference's QuaternionLinearAutograd path —
+# same forward function as QuaternionLinear, just torch-autograd
+# gradients (quaternion_neural_networks.py:83-110), and much faster on
+# CPU for the 1-epoch parity train.
+_QLSTM_ARCH = """[architecture1]
+arch_name = QLSTM
+arch_proto = proto/QLSTM.proto
+arch_library = {qlibrary}
+arch_class = QLSTM
+arch_pretrain_file = {pretrain1}
+arch_freeze = False
+arch_seq_model = True
+lstm_lay = 8,8
+lstm_drop = 0.0,0.0
+lstm_bidir = True
+lstm_act = tanh,tanh
+quaternion_init = quaternion
+autograd = True
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture2]
+arch_name = MLP_softmax
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = {pretrain2}
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = {n_pdfs}
+dnn_drop = 0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = False
+dnn_use_laynorm = False
+dnn_act = softmax
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+"""
+
 _RECURRENT_ARCH = """[architecture1]
 arch_name = {cls}_layers
 arch_proto = proto/{cls}.proto
@@ -448,6 +746,58 @@ _MODEL["CNN"] = (
     "\terr_final=cost_err(out_dnn2,lab_cd)",
     "out_dnn2",
 )
+# the autoencoder graph (TIMIT_MLP_fbank_autoencoder.cfg [model]):
+# mse against the input features, err against the cd labels
+_MODEL["ae"] = (
+    "enc_out=compute(MLP_encoder,mfcc)\n"
+    "\tdec_out=compute(MLP_decoder,enc_out)\n"
+    "\tloss_final=mse(dec_out,mfcc)\n"
+    "\terr_final=cost_err(dec_out,lab_cd)",
+    "enc_out",
+)
+
+# the best-ensemble model graph verbatim
+# (TIMIT_mfcc_fbank_fmllr_liGRU_best.cfg [model]); decoding consumes the
+# cd head (out_dnn4), the mono head only shapes the joint loss
+_MODEL["best"] = (
+    "conc1=concatenate(mfcc,fbank)\n"
+    "\tconc2=concatenate(conc1,fmllr)\n"
+    "\tout_dnn1=compute(MLP_layers_first,conc2)\n"
+    "\tout_dnn2=compute(liGRU_layers,out_dnn1)\n"
+    "\tout_dnn3=compute(MLP_layers_second,out_dnn2)\n"
+    "\tout_dnn4=compute(MLP_layers_last,out_dnn3)\n"
+    "\tout_dnn5=compute(MLP_layers_last2,out_dnn3)\n"
+    "\tloss_mono=cost_nll(out_dnn5,lab_mono)\n"
+    "\tloss_mono_w=mult_constant(loss_mono,1.0)\n"
+    "\tloss_cd=cost_nll(out_dnn4,lab_cd)\n"
+    "\tloss_final=sum(loss_cd,loss_mono_w)\n"
+    "\terr_final=cost_err(out_dnn4,lab_cd)",
+    "out_dnn4",
+)
+
+# the DIRHA QLSTM recipe concatenates 4 microphone mfcc streams before the
+# quaternion recurrence (DIRHA_QLSTM_MFCC.cfg [model]) — this also measures
+# the multi-stream `concatenate` DSL composition across both pipelines
+_MODEL["QLSTM"] = (
+    "conc1=concatenate(mfccLA1,mfccLA2)\n"
+    "\tconc2=concatenate(conc1,mfccLA3)\n"
+    "\tconc3=concatenate(conc2,mfccLA4)\n"
+    "\tout_dnn1=compute(QLSTM,conc3)\n"
+    "\tout_dnn2=compute(MLP_softmax,out_dnn1)\n"
+    "\tloss_final=cost_nll(out_dnn2,lab_cd)\n"
+    "\terr_final=cost_err(out_dnn2,lab_cd)",
+    "out_dnn2",
+)
+
+# raw windows go straight into the sinc front-end: no fea_opts, cw 0/0
+# (TIMIT_SincNet_raw.cfg datasets)
+_MODEL["SincNet"] = (
+    "out_dnn1=compute(CNN_layers,raw)\n"
+    "\tout_dnn2=compute(MLP_softmax,out_dnn1)\n"
+    "\tloss_final=cost_nll(out_dnn2,lab_cd)\n"
+    "\terr_final=cost_err(out_dnn2,lab_cd)",
+    "out_dnn2",
+)
 for _cls in RECURRENT_SPECS:
     _MODEL[_cls] = (
         f"out_dnn1=compute({_cls}_layers,mfcc)\n"
@@ -459,21 +809,54 @@ for _cls in RECURRENT_SPECS:
 
 _DATASET = """[dataset{idx}]
 data_name = {name}
-fea = fea_name=mfcc
-\tfea_lst={scp}
-\tfea_opts=apply-cmvn --utt2spk=ark:{u2s} ark:{cmvn} ark:- ark:- | add-deltas --delta-order=2 ark:- ark:- |
-\tcw_left={cw}
-\tcw_right={cw}
+fea = {fea_block}
 
 lab = {lab_block}
 
 n_chunks = 1
 """
 
+# one stream inside the multi-line `fea` field (reference parse_fea_field
+# is line-based, utils.py:1425-1455, so streams are plain-joined with
+# continuation indents)
+_FEA_STREAM = (
+    "fea_name={fea_name}\n"
+    "\tfea_lst={scp}\n"
+    "\tfea_opts={fea_opts}\n"
+    "\tcw_left={cw}\n"
+    "\tcw_right={cw}"
+)
+
+_MFCC_FEA_OPTS = (
+    "apply-cmvn --utt2spk=ark:{u2s} ark:{cmvn} ark:- ark:- | "
+    "add-deltas --delta-order=2 ark:- ark:- |"
+)
+
+# DIRHA_QLSTM_MFCC.cfg-style streams: cmvn only, no deltas
+_MFCC_NODELTA_FEA_OPTS = (
+    "apply-cmvn --utt2spk=ark:{u2s} ark:{cmvn} ark:- ark:- | "
+    "add-deltas --delta-order=0 ark:- ark:- |"
+)
+
 _LAB_BLOCK = """lab_name=lab_cd
 \tlab_folder={alidir}
 \tlab_opts=ali-to-pdf
 \tlab_count_file={counts}
+\tlab_data_folder={datadir}
+\tlab_graph=none"""
+
+# cd + monophone targets from the same alignment dir, as in the
+# best-ensemble recipe (lab_count_file=none for the mono head)
+_DUAL_LAB_BLOCK = """lab_name=lab_cd
+\tlab_folder={alidir}
+\tlab_opts=ali-to-pdf
+\tlab_count_file={counts}
+\tlab_data_folder={datadir}
+\tlab_graph=none
+\tlab_name=lab_mono
+\tlab_folder={alidir}
+\tlab_opts=ali-to-phones --per-frame=true
+\tlab_count_file=none
 \tlab_data_folder={datadir}
 \tlab_graph=none"""
 
@@ -517,8 +900,8 @@ model = {model}
 
 [forward]
 forward_out = {forward_out}
-normalize_posteriors = True
-normalize_with_counts_from = {counts}
+normalize_posteriors = {normalize_posteriors}
+normalize_with_counts_from = {normalize_with_counts}
 save_out_file = True
 require_decoding = False
 
@@ -566,15 +949,33 @@ def write_parity_cfg(
     flagship recipe's hyperparameters (TIMIT_liGRU_fmllr.cfg:
     alpha 0.95, eps 1e-8, centered False)."""
     library = "neural_networks" if side == "reference" else "tpukaldi.models"
+    # the reference keeps quaternion nets in their own module
+    # (quaternion_neural_networks.py); tpukaldi resolves arch_class in one
+    # registry regardless
+    qlibrary = (
+        "quaternion_neural_networks" if side == "reference"
+        else "tpukaldi.models"
+    )
     if arch == "MLP":
         template = _MLP_ARCH
     elif arch == "CNN":
         template = _CNN_ARCH
+    elif arch == "SincNet":
+        template = _SINC_ARCH
+    elif arch == "QLSTM":
+        template = _QLSTM_ARCH
+    elif arch == "best":
+        template = _BEST_ARCH
+    elif arch == "ae":
+        template = _AE_ARCH
     else:
         prefix, act = RECURRENT_SPECS[arch]
         template = _RECURRENT_ARCH.format(cls=arch, prefix=prefix, act=act)
     arch_sections = template.format(
-        library=library, n_pdfs=tree.n_pdfs, lr=lr,
+        library=library, qlibrary=qlibrary, n_pdfs=tree.n_pdfs,
+        n_mono=tree.n_pdfs // 3 + 1, lr=lr,
+        # mfcc stream after add-deltas --delta-order=2 and the cw splice
+        spliced_dim=tree.feat_dim * 3 * (2 * cw + 1),
         pretrain1=pretrain[0], pretrain2=pretrain[1],
     )
     if opt == "rmsprop":
@@ -594,25 +995,65 @@ def write_parity_cfg(
     elif opt != "sgd":
         raise ValueError(f"unsupported parity-cfg optimizer {opt!r}")
     model, forward_out = _MODEL[arch]
+    # raw-waveform windows (SincNet) take no feature processing and no
+    # context splice, exactly like TIMIT_SincNet_raw.cfg's datasets
+    raw = arch == "SincNet"
+    if raw:
+        cw = 0
+
+    def fea_block(split):
+        if arch == "best":
+            # mfcc (cmvn + delta-order 2) / fbank / fmllr (cmvn only)
+            # streams, cw 0/0 — the best-ensemble recipe's exact loader
+            # composition, all backed by the tree's feature ark
+            streams = []
+            for fea_name, tmpl in (("mfcc", _MFCC_FEA_OPTS),
+                                   ("fbank", _MFCC_NODELTA_FEA_OPTS),
+                                   ("fmllr", _MFCC_NODELTA_FEA_OPTS)):
+                streams.append(_FEA_STREAM.format(
+                    fea_name=fea_name, scp=tree.scp(split),
+                    fea_opts=tmpl.format(
+                        u2s=tree.utt2spk(split), cmvn=tree.cmvn(split)),
+                    cw=0,
+                ))
+            return "\n\t".join(streams)
+        if arch == "QLSTM":
+            # 4 "microphone" mfcc streams (cmvn, no deltas, cw 0/0) as in
+            # DIRHA_QLSTM_MFCC.cfg — all backed by the same scp here; the
+            # [model] concatenate chain glues them back together
+            opts = _MFCC_NODELTA_FEA_OPTS.format(
+                u2s=tree.utt2spk(split), cmvn=tree.cmvn(split))
+            return "\n\t".join(
+                _FEA_STREAM.format(
+                    fea_name=f"mfccLA{k}", scp=tree.scp(split),
+                    fea_opts=opts, cw=0,
+                )
+                for k in range(1, 5)
+            )
+        fea_name = "raw" if raw else "mfcc"
+        opts = "" if raw else _MFCC_FEA_OPTS.format(
+            u2s=tree.utt2spk(split), cmvn=tree.cmvn(split))
+        return _FEA_STREAM.format(
+            fea_name=fea_name, scp=tree.scp(split), fea_opts=opts, cw=cw)
+
     datasets = []
     for idx, (name, split) in enumerate(
         (("parity_tr", "train"), ("parity_dev", "dev"), ("parity_te", "test")),
         start=1,
     ):
-        lab_block = _LAB_BLOCK.format(
+        lab_tmpl = _DUAL_LAB_BLOCK if arch == "best" else _LAB_BLOCK
+        lab_block = lab_tmpl.format(
             alidir=tree.alidir(split), counts=tree.counts_file,
             datadir=os.path.join(tree.root, "data", split),
         )
         datasets.append(_DATASET.format(
-            idx=idx, name=name, scp=tree.scp(split),
-            u2s=tree.utt2spk(split), cmvn=tree.cmvn(split),
-            cw=cw, lab_block=lab_block,
+            idx=idx, name=name, fea_block=fea_block(split),
+            lab_block=lab_block,
         ))
     forward_with = "parity_te"
     if production:
         datasets.append(_DATASET.format(
-            idx=4, name="parity_prod", scp=tree.scp("test"),
-            u2s=tree.utt2spk("test"), cmvn=tree.cmvn("test"), cw=cw,
+            idx=4, name="parity_prod", fea_block=fea_block("test"),
             lab_block=_PROD_LAB_BLOCK.format(
                 datadir=os.path.join(tree.root, "data", "test")),
         ))
@@ -621,8 +1062,12 @@ def write_parity_cfg(
         out_folder=out_folder, seed=seed, n_epochs=n_epochs,
         datasets="\n".join(datasets), forward_with=forward_with,
         batch_size=batch_size, arch_sections=arch_sections, model=model,
-        forward_out=forward_out, counts=tree.counts_file,
-        run_nn_script=run_nn_script,
+        forward_out=forward_out, run_nn_script=run_nn_script,
+        # the autoencoder emits the raw bottleneck (no prior normalization,
+        # TIMIT_MLP_fbank_autoencoder.cfg [forward]); everything else emits
+        # prior-normalized log posteriors
+        normalize_posteriors=arch != "ae",
+        normalize_with_counts="None" if arch == "ae" else tree.counts_file,
     )
     os.makedirs(os.path.dirname(cfg_path), exist_ok=True)
     with open(cfg_path, "w") as f:
@@ -692,6 +1137,25 @@ ARCH_CLASSES = {
     "CNN": (
         ("architecture1", "CNN_layers", "CNN"),
         ("architecture2", "MLP_softmax", "MLP"),
+    ),
+    "SincNet": (
+        ("architecture1", "CNN_layers", "SincNet"),
+        ("architecture2", "MLP_softmax", "MLP"),
+    ),
+    "QLSTM": (
+        ("architecture1", "QLSTM", "QLSTM"),
+        ("architecture2", "MLP_softmax", "MLP"),
+    ),
+    "best": (
+        ("architecture1", "MLP_layers_first", "MLP"),
+        ("architecture2", "liGRU_layers", "liGRU"),
+        ("architecture3", "MLP_layers_second", "MLP"),
+        ("architecture4", "MLP_layers_last", "MLP"),
+        ("architecture5", "MLP_layers_last2", "MLP"),
+    ),
+    "ae": (
+        ("architecture1", "MLP_encoder", "MLP"),
+        ("architecture2", "MLP_decoder", "MLP"),
     ),
 }
 for _cls in RECURRENT_SPECS:
@@ -772,7 +1236,15 @@ def run_posterior_parity(
     `core.run_nn`, producing the posterior ark the contract diffs."""
     import glob
 
-    tree = build_parity_tree(os.path.join(workdir, "tree"), seed=seed)
+    # SincNet consumes raw 400-sample waveform windows (the recipe's
+    # save_raw_fea.py arks, scaled down from 3200 for CPU-side torch);
+    # shorter utterances keep the reference's batch-1 conv forward quick
+    tree_kw = (
+        dict(feat_dim=400, min_len=20, max_len=50)
+        if arch == "SincNet" else {}
+    )
+    tree = build_parity_tree(
+        os.path.join(workdir, "tree"), seed=seed, **tree_kw)
     stubs = make_stub_bin_dir(os.path.join(workdir, "bin"))
     ref_out = os.path.join(workdir, "ref_exp")
     forward_out = _MODEL[arch][1]

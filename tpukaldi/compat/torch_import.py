@@ -116,9 +116,8 @@ def import_model_par(
     if class_name in ("CNN", "SincNet"):
         # conv.{i}: Conv1d (weight layout (out,in,k) identical to ours);
         # SincNet's conv.0 is a SincConv whose learnables are low_hz_/band_hz_
-        # (set sinc_fast=False in the cfg for checkpoints from the
-        # reference's SincNet, which uses the original SincConv:
-        # neural_networks.py:1596-1604)
+        # (the default sinc_fast=False matches the reference's SincNet,
+        # which uses the original SincConv: neural_networks.py:1596-1604)
         # input normalization over the raw window (reference ln0/bn0,
         # neural_networks.py:1491-1497 — the shipped SincNet_raw recipe
         # trains with use_laynorm_inp=True, so dropping these would make

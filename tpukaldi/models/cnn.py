@@ -238,7 +238,11 @@ class CNN(_ConvStack):
 
 class SincNet(_ConvStack):
     """Conv stack whose first layer is a SincConv (neural_networks.py:1559).
-    `sinc_fast=True` (default) uses the half-window symmetry synthesis."""
+    The reference's SincNet hardwires the ORIGINAL SincConv
+    (neural_networks.py:1623-1633, normalized-frequency params + max-norm),
+    so that synthesis is the default; `sinc_fast=True` opts into the
+    half-window symmetry variant (SincConv_fast, different parameter
+    semantics — not checkpoint-compatible with the default)."""
 
     PREFIX = "sinc"
 
@@ -247,7 +251,7 @@ class SincNet(_ConvStack):
         sample_rate = int(o.get("sinc_sample_rate", 16000))
         min_low_hz = int(o.get("sinc_min_low_hz", 50))
         min_band_hz = int(o.get("sinc_min_band_hz", 50))
-        fast = to_bool(o.get("sinc_fast", "True"))
+        fast = to_bool(o.get("sinc_fast", "False"))
         kernel_size = len_filt + 1 if len_filt % 2 == 0 else len_filt
 
         low_hz = 30
