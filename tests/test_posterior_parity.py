@@ -32,8 +32,9 @@ TOL = 1e-4  # BASELINE.json posterior max-abs-diff contract
     ["MLP", "CNN", "SincNet", "liGRU", "GRU", "LSTM", "QLSTM",
      # "best" = the published-best TIMIT ensemble composition (3 feature
      # streams, dual cd+mono labels, 5 architectures, joint loss);
-     # "ae" = the autoencoder (mse op, un-normalized forward ark)
-     "best", "ae"])
+     # "ae" = the autoencoder (mse op, un-normalized forward ark);
+     # "rev" = TIMIT_rev joint enhancement+ASR (mse vs a second stream)
+     "best", "ae", "rev"])
 def test_posterior_ark_parity(arch, tmp_path_factory):
     work = str(tmp_path_factory.mktemp(f"parity_{arch}"))
     max_abs, per_utt = rh.run_posterior_parity(work, arch=arch)
@@ -48,6 +49,11 @@ def test_posterior_ark_parity(arch, tmp_path_factory):
     # with rmsprop): torch-RMSprop-vs-optax semantics verified at the
     # trajectory level, not just per-step
     ("liGRU", 3, "rmsprop", 0.002),
+    # the published-best ensemble composition: 5 architectures (5 joint
+    # optimizers), dual cd+mono labels, 3-way loss — trajectory parity of
+    # the whole joint-training graph (measured gap <= 0.011 abs, identical
+    # 5-way new-bob halving at epoch 2)
+    ("best", 3, "sgd", 0.02),
 ])
 def test_training_trajectory_parity(arch, n_epochs, opt, lr, tmp_path_factory):
     """Common-init training trajectories (VERDICT r2 #4): both frameworks

@@ -521,7 +521,7 @@ arch_name = liGRU_layers
 arch_proto = proto/liGRU.proto
 arch_library = {library}
 arch_class = liGRU
-arch_pretrain_file = none
+arch_pretrain_file = {pretrain2}
 arch_freeze = False
 arch_seq_model = True
 ligru_lay = 16,16
@@ -547,7 +547,7 @@ arch_name = MLP_layers_second
 arch_proto = proto/MLP.proto
 arch_library = {library}
 arch_class = MLP
-arch_pretrain_file = none
+arch_pretrain_file = {pretrain3}
 arch_freeze = False
 arch_seq_model = False
 dnn_lay = 16
@@ -571,7 +571,7 @@ arch_name = MLP_layers_last
 arch_proto = proto/MLP.proto
 arch_library = {library}
 arch_class = MLP
-arch_pretrain_file = {pretrain2}
+arch_pretrain_file = {pretrain4}
 arch_freeze = False
 arch_seq_model = False
 dnn_lay = {n_pdfs}
@@ -595,7 +595,137 @@ arch_name = MLP_layers_last2
 arch_proto = proto/MLP.proto
 arch_library = {library}
 arch_class = MLP
-arch_pretrain_file = none
+arch_pretrain_file = {pretrain5}
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = {n_mono}
+dnn_drop = 0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = False
+dnn_use_laynorm = False
+dnn_act = softmax
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+"""
+
+# joint enhancement+ASR training (TIMIT_rev/TIMIT_joint_training_liGRU_
+# fbank.cfg): reverberated fbank -> liGRU_SE -> linear MLP_SE enhancement
+# (mse against the CLEAN fbank stream) -> liGRU_SR -> cd + mono heads,
+# 3-way summed loss — measures cost-against-a-second-feature-stream and
+# chained recurrent stacks
+_REV_ARCH = """[architecture1]
+arch_name = liGRU_SE
+arch_proto = proto/liGRU.proto
+arch_library = {library}
+arch_class = liGRU
+arch_pretrain_file = {pretrain1}
+arch_freeze = False
+arch_seq_model = True
+ligru_lay = 16,16
+ligru_drop = 0.0,0.0
+ligru_use_laynorm_inp = False
+ligru_use_batchnorm_inp = False
+ligru_use_laynorm = False,False
+ligru_use_batchnorm = True,True
+ligru_bidir = True
+ligru_act = relu,relu
+ligru_orthinit = True
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture2]
+arch_name = MLP_SE
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = {pretrain2}
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = {fea_dim}
+dnn_drop = 0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = False
+dnn_use_laynorm = False
+dnn_act = linear
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture3]
+arch_name = liGRU_SR
+arch_proto = proto/liGRU.proto
+arch_library = {library}
+arch_class = liGRU
+arch_pretrain_file = {pretrain3}
+arch_freeze = False
+arch_seq_model = True
+ligru_lay = 16,16
+ligru_drop = 0.0,0.0
+ligru_use_laynorm_inp = False
+ligru_use_batchnorm_inp = False
+ligru_use_laynorm = False,False
+ligru_use_batchnorm = True,True
+ligru_bidir = True
+ligru_act = relu,relu
+ligru_orthinit = True
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture4]
+arch_name = MLP_layers
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = {pretrain4}
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = {n_pdfs}
+dnn_drop = 0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = False
+dnn_use_laynorm = False
+dnn_act = softmax
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture5]
+arch_name = MLP_layers2
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = {pretrain5}
 arch_freeze = False
 arch_seq_model = False
 dnn_lay = {n_mono}
@@ -754,6 +884,26 @@ _MODEL["ae"] = (
     "\tloss_final=mse(dec_out,mfcc)\n"
     "\terr_final=cost_err(dec_out,lab_cd)",
     "enc_out",
+)
+
+# the joint enhancement+ASR graph verbatim (TIMIT_rev [model]); decoding
+# consumes out_dnn3 (the cd head); the harness tree backs both fbank
+# streams with the same ark, so the mse enhancement target is exact
+_MODEL["rev"] = (
+    "out_dnn1=compute(liGRU_SE,fbankrev)\n"
+    "\tout_dnn_SE=compute(MLP_SE,out_dnn1)\n"
+    "\tout_dnn2=compute(liGRU_SR,out_dnn_SE)\n"
+    "\tout_dnn3=compute(MLP_layers,out_dnn2)\n"
+    "\tout_dnn4=compute(MLP_layers2,out_dnn2)\n"
+    "\tloss_mono=cost_nll(out_dnn4,lab_mono)\n"
+    "\tloss_mono_w=mult_constant(loss_mono,1.0)\n"
+    "\tloss_se=mse(out_dnn_SE,fbankclean)\n"
+    "\tloss_se_w=mult_constant(loss_se,1.0)\n"
+    "\tloss_cd=cost_nll(out_dnn3,lab_cd)\n"
+    "\tloss_sum1=sum(loss_cd,loss_mono_w)\n"
+    "\tloss_final=sum(loss_sum1,loss_se_w)\n"
+    "\terr_final=cost_err(out_dnn3,lab_cd)",
+    "out_dnn3",
 )
 
 # the best-ensemble model graph verbatim
@@ -968,15 +1118,21 @@ def write_parity_cfg(
         template = _BEST_ARCH
     elif arch == "ae":
         template = _AE_ARCH
+    elif arch == "rev":
+        template = _REV_ARCH
     else:
         prefix, act = RECURRENT_SPECS[arch]
         template = _RECURRENT_ARCH.format(cls=arch, prefix=prefix, act=act)
+    pre = tuple(pretrain) + ("none",) * (5 - len(pretrain))
     arch_sections = template.format(
         library=library, qlibrary=qlibrary, n_pdfs=tree.n_pdfs,
         n_mono=tree.n_pdfs // 3 + 1, lr=lr,
         # mfcc stream after add-deltas --delta-order=2 and the cw splice
         spliced_dim=tree.feat_dim * 3 * (2 * cw + 1),
-        pretrain1=pretrain[0], pretrain2=pretrain[1],
+        # a no-delta cw-0 stream keeps the raw ark dim (rev's mse target)
+        fea_dim=tree.feat_dim,
+        pretrain1=pre[0], pretrain2=pre[1], pretrain3=pre[2],
+        pretrain4=pre[3], pretrain5=pre[4],
     )
     if opt == "rmsprop":
         arch_sections = arch_sections.replace(
@@ -1002,6 +1158,17 @@ def write_parity_cfg(
         cw = 0
 
     def fea_block(split):
+        if arch == "rev":
+            # clean + reverberated fbank streams (cmvn only, cw 0/0) as in
+            # the TIMIT_rev joint-training recipe; the tree backs both with
+            # the same ark (the enhancement target is then exact)
+            opts = _MFCC_NODELTA_FEA_OPTS.format(
+                u2s=tree.utt2spk(split), cmvn=tree.cmvn(split))
+            return "\n\t".join(
+                _FEA_STREAM.format(
+                    fea_name=name, scp=tree.scp(split), fea_opts=opts, cw=0)
+                for name in ("fbankclean", "fbankrev")
+            )
         if arch == "best":
             # mfcc (cmvn + delta-order 2) / fbank / fmllr (cmvn only)
             # streams, cw 0/0 — the best-ensemble recipe's exact loader
@@ -1041,7 +1208,8 @@ def write_parity_cfg(
         (("parity_tr", "train"), ("parity_dev", "dev"), ("parity_te", "test")),
         start=1,
     ):
-        lab_tmpl = _DUAL_LAB_BLOCK if arch == "best" else _LAB_BLOCK
+        lab_tmpl = (
+            _DUAL_LAB_BLOCK if arch in ("best", "rev") else _LAB_BLOCK)
         lab_block = lab_tmpl.format(
             alidir=tree.alidir(split), counts=tree.counts_file,
             datadir=os.path.join(tree.root, "data", split),
@@ -1156,6 +1324,13 @@ ARCH_CLASSES = {
     "ae": (
         ("architecture1", "MLP_encoder", "MLP"),
         ("architecture2", "MLP_decoder", "MLP"),
+    ),
+    "rev": (
+        ("architecture1", "liGRU_SE", "liGRU"),
+        ("architecture2", "MLP_SE", "MLP"),
+        ("architecture3", "liGRU_SR", "liGRU"),
+        ("architecture4", "MLP_layers", "MLP"),
+        ("architecture5", "MLP_layers2", "MLP"),
     ),
 }
 for _cls in RECURRENT_SPECS:
@@ -1359,8 +1534,7 @@ def run_trajectory_parity(
                 f"init run produced no {pkl} (rc={proc.returncode}):\n"
                 f"{proc.stdout.decode()[-3000:]}")
         pretrain_pkls.append(pkl)
-    while len(pretrain_pkls) < 2:
-        pretrain_pkls.append("none")
+    # templates take up to 5 positional pretrain slots (best/rev)
 
     ref_out = os.path.join(workdir, "ref_traj")
     ref_cfg = write_parity_cfg(
@@ -1386,8 +1560,6 @@ def run_trajectory_parity(
             os.path.join(init_out, "exp_files", f"final_{section}.pkl"),
             ckpt, class_name)
         ckpts.append(ckpt)
-    while len(ckpts) < 2:
-        ckpts.append("none")
     tpu_cfg = write_parity_cfg(
         tree, tpu_out, os.path.join(workdir, "tpu_traj.cfg"), "tpukaldi",
         arch=arch, n_epochs=n_epochs, pretrain=tuple(ckpts),
