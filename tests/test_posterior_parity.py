@@ -78,6 +78,17 @@ def test_training_trajectory_parity(arch, n_epochs, opt, lr, tmp_path_factory):
     assert tpu[-1]["train_loss"] < tpu[0]["train_loss"]
 
 
+def test_save_raw_fea_matches_reference(tmp_path):
+    """The raw-window dumper must emit bit-identical arks to the
+    reference's own save_raw_fea.py (run with its hardcoded path constants
+    patched — the script ships no CLI) on the same wav files: the SincNet/
+    CNN raw recipes consume these arks, so any drift here would poison the
+    raw-waveform posterior parity upstream of the models."""
+    max_abs, per_utt = rh.run_save_raw_fea_parity(str(tmp_path / "raw"))
+    assert per_utt, "no wavs compared"
+    assert max_abs == 0.0, per_utt
+
+
 def test_stub_pipeline_matches_native(tmp_path):
     """The Kaldi-binary stubs fed to the reference must transform features
     exactly like tpukaldi's in-process fea_opts interpreter — otherwise the

@@ -1462,6 +1462,83 @@ def run_posterior_parity(
     return compare_posterior_arks(ref_ark, tpu_ark)
 
 
+def run_save_raw_fea_parity(
+    workdir: str, n_wavs: int = 3, seed: int = 77
+) -> Tuple[float, Dict[str, float]]:
+    """Run the reference's OWN save_raw_fea.py (its hardcoded path
+    constants patched to a synthetic tree — the script ships no CLI,
+    reference save_raw_fea.py:22-26) and tpukaldi's
+    `tools.save_raw_fea.dump_raw_features` on the same wav files, and diff
+    the emitted raw-window arks per utterance.  Returns (max_abs_diff,
+    per-utterance dict)."""
+    import scipy.io.wavfile
+
+    from ..io import kaldi_io as kio
+    from ..tools.save_raw_fea import dump_raw_features
+
+    tree = build_parity_tree(os.path.join(workdir, "tree"), seed=seed)
+    stubs = make_stub_bin_dir(os.path.join(workdir, "bin"))
+
+    wav_dir = os.path.join(workdir, "wav")
+    os.makedirs(wav_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    wav_lst = os.path.join(wav_dir, "wav.lst")
+    # reuse the tree's test-split utterance ids so the script's ali pipe
+    # (read but unused for windowing) resolves against real alignments
+    ids = [k for k, _ in kio.read_mat_scp(tree.scp("test"))][:n_wavs]
+    with open(wav_lst, "w") as f:
+        for sig_id in ids:
+            n = int(rng.integers(8000, 14000))
+            pcm = (rng.standard_normal(n) * 8000).astype(np.int16)
+            path = os.path.join(wav_dir, f"{sig_id}.wav")
+            scipy.io.wavfile.write(path, 16000, pcm)
+            f.write(f"{sig_id} {path}\n")
+
+    ref_out = os.path.join(workdir, "ref_raw")
+    src = open(os.path.join(REFERENCE_DIR, "save_raw_fea.py")).read()
+    for var, val in (
+        ("lab_folder", tree.alidir("test")),
+        ("out_folder", ref_out),
+        ("wav_lst", wav_lst),
+        ("scp_file_out", os.path.join(ref_out, "feats_raw.scp")),
+    ):
+        # patch only the active (first, uncommented) assignment
+        import re
+
+        src = re.sub(
+            rf'^{var} = ".*"$', f"{var} = {val!r}", src, count=1,
+            flags=re.MULTILINE,
+        )
+    os.makedirs(ref_out, exist_ok=True)
+    patched = os.path.join(workdir, "ref_save_raw_fea.py")
+    with open(patched, "w") as f:
+        f.write(src)
+    env = _reference_env(stubs)
+    env["PYTHONPATH"] = REFERENCE_DIR + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, patched], cwd=REFERENCE_DIR, env=env, timeout=300,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"reference save_raw_fea failed:\n{proc.stdout.decode()[-3000:]}")
+
+    tpu_out = os.path.join(workdir, "tpu_raw")
+    dump_raw_features(wav_lst, tpu_out)
+
+    per_utt = {}
+    for sig_id in ids:
+        ref_mat = dict(kio.read_mat_ark(
+            os.path.join(ref_out, f"{sig_id}.ark")))[sig_id]
+        tpu_mat = dict(kio.read_mat_ark(
+            os.path.join(tpu_out, f"{sig_id}.ark")))[sig_id]
+        if ref_mat.shape != tpu_mat.shape:
+            raise AssertionError(
+                f"{sig_id}: shape {ref_mat.shape} vs {tpu_mat.shape}")
+        per_utt[sig_id] = float(np.abs(ref_mat - tpu_mat).max())
+    return max(per_utt.values()), per_utt
+
+
 def parse_res_res(path: str) -> List[Dict[str, object]]:
     """Parse epoch rows from a res.res file (both frameworks emit the same
     line shape: `ep=N tr=[...] loss=.. err=.. valid=<set> loss=.. err=..
