@@ -307,7 +307,10 @@ def _wait_for_tpu() -> bool:
         return True
     except TimeoutError:
         pass
-    deadline = time.time() + int(os.environ.get("TPUKALDI_BENCH_WAIT", "1500"))
+    # observed axon wedges last up to ~2.5 h; default to a 1 h wait (the
+    # round-end bench is the only artifact that can capture real-TPU
+    # numbers, so patience beats a fast rc=3)
+    deadline = time.time() + int(os.environ.get("TPUKALDI_BENCH_WAIT", "3600"))
     probe = ("import jax, jax.numpy as jnp; "
              "print(float(jax.device_get("
              "jnp.dot(jnp.ones((8, 8)), jnp.ones((8, 8)))).sum()))")

@@ -118,6 +118,7 @@ def test_export_cli(trained, tmp_path):
         [sys.executable, "-m", "tpukaldi.tools.export_model", cfg,
          "--out", art],
         capture_output=True, text=True, env=env, cwd=repo_root,
+        timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(art, "forward.stablehlo"))

@@ -1494,6 +1494,8 @@ def run_save_raw_fea_parity(
             scipy.io.wavfile.write(path, 16000, pcm)
             f.write(f"{sig_id} {path}\n")
 
+    import re
+
     ref_out = os.path.join(workdir, "ref_raw")
     src = open(os.path.join(REFERENCE_DIR, "save_raw_fea.py")).read()
     for var, val in (
@@ -1503,8 +1505,6 @@ def run_save_raw_fea_parity(
         ("scp_file_out", os.path.join(ref_out, "feats_raw.scp")),
     ):
         # patch only the active (first, uncommented) assignment
-        import re
-
         src = re.sub(
             rf'^{var} = ".*"$', f"{var} = {val!r}", src, count=1,
             flags=re.MULTILINE,
