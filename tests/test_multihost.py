@@ -170,12 +170,15 @@ def test_forward_stage_partitions_across_hosts(tmp_path):
 
     env = dict(os.environ)
     env["TPUKALDI_NUM_HOSTS"] = "2"
+    # run_exp.main honors this even under the axon sitecustomize — keeps
+    # the subprocess off the real (possibly wedged) TPU tunnel
+    env["JAX_PLATFORMS"] = "cpu"
     by_host = {}
     for host in (0, 1):
         env["TPUKALDI_HOST_ID"] = str(host)
         r = subprocess.run(
             [sys.executable, "-m", "tpukaldi.tools.run_exp", cfg],
-            cwd=REPO, env=env, capture_output=True, text=True,
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
         )
         assert r.returncode == 0, r.stderr[-3000:]
         done = {f for f in os.listdir(ef)
