@@ -53,3 +53,40 @@ def test_early_consumer_exit_unblocks_producer():
         time.sleep(0.05)
     assert done.is_set(), "producer thread stayed blocked after close()"
     assert len(produced) < 1000
+
+
+def test_write_lst_files_atomic_under_concurrent_rewrites(tmp_path):
+    """Regression: the driver re-materializes a task's .lst right before
+    dispatch while the whole-schedule feeder may be mid-read of the same
+    file — a truncating rewrite let readers observe an EMPTY list (flaky
+    'empty feature list' under full-suite load).  write_lst_files must be
+    atomic: every read observes the complete list."""
+    import threading
+
+    from tpukaldi.plan.planner import ChunkTask
+
+    path = str(tmp_path / "ep0_ck0_mfcc.lst")
+    lines = [f"utt{i:03d} /x/feats.ark:{i}" for i in range(50)]
+    task = ChunkTask(
+        phase="train", dataset="d", epoch=0, chunk=0, seed=1,
+        fea_lists={"mfcc": lines}, lst_files={"mfcc": path},
+        info_file=str(tmp_path / "i.info"),
+    )
+    task.write_lst_files()
+    stop = threading.Event()
+    bad = []
+
+    def reader():
+        while not stop.is_set():
+            got = [l.rstrip("\n") for l in open(path)]
+            if got != lines:
+                bad.append(len(got))
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    for _ in range(300):
+        task.write_lst_files()
+    stop.set()
+    t.join()
+    assert not bad, f"reader observed incomplete lists (lens {bad[:5]})"

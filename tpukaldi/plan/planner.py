@@ -71,9 +71,21 @@ class ChunkTask:
         return os.path.exists(self.info_file)
 
     def write_lst_files(self) -> None:
+        # atomic replace: the driver re-writes a task's .lst right before
+        # dispatch (run_exp ledger) while the whole-schedule prefetch
+        # feeder may be mid-read of the same file for the same task — a
+        # plain open(path, "w") truncates and the reader can observe an
+        # empty list (seen as a flaky "empty feature list" at full-suite
+        # load). os.replace makes every observable state complete.
+        import threading
+
         for stream, path in self.lst_files.items():
-            with open(path, "w") as f:
+            # unique per writer: the feeder thread and the driver thread
+            # can both materialize the same task's lists concurrently
+            tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+            with open(tmp, "w") as f:
                 f.writelines(line + "\n" for line in self.fea_lists[stream])
+            os.replace(tmp, path)
 
 
 @dataclass
