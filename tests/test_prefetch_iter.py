@@ -77,11 +77,17 @@ def test_write_lst_files_atomic_under_concurrent_rewrites(tmp_path):
     bad = []
 
     def reader():
-        while not stop.is_set():
-            got = [l.rstrip("\n") for l in open(path)]
-            if got != lines:
-                bad.append(len(got))
-                return
+        # record exceptions too: a reader error (e.g. FileNotFoundError
+        # from an unlink-then-recreate rewrite) is also an atomicity
+        # violation, and must not let the test pass vacuously
+        try:
+            while not stop.is_set():
+                got = [l.rstrip("\n") for l in open(path)]
+                if got != lines:
+                    bad.append(len(got))
+                    return
+        except Exception as e:
+            bad.append(repr(e))
 
     t = threading.Thread(target=reader)
     t.start()

@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 import os
 import random
+import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -77,15 +78,21 @@ class ChunkTask:
         # plain open(path, "w") truncates and the reader can observe an
         # empty list (seen as a flaky "empty feature list" at full-suite
         # load). os.replace makes every observable state complete.
-        import threading
-
         for stream, path in self.lst_files.items():
             # unique per writer: the feeder thread and the driver thread
             # can both materialize the same task's lists concurrently
             tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
-            with open(tmp, "w") as f:
-                f.writelines(line + "\n" for line in self.fea_lists[stream])
-            os.replace(tmp, path)
+            try:
+                with open(tmp, "w") as f:
+                    f.writelines(
+                        line + "\n" for line in self.fea_lists[stream])
+                os.replace(tmp, path)
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
 
 
 @dataclass

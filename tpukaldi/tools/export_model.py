@@ -259,17 +259,11 @@ def main(argv=None) -> int:
                     help="bake count-file log-priors into the output "
                     "(emit decoder-ready normalized posteriors)")
     args = ap.parse_args(argv)
-    # honor JAX_PLATFORMS even where a site hook (e.g. the axon TPU
-    # plugin's sitecustomize) registers a device backend that overrides
-    # the env var: exporting is an abstract trace — it needs no device,
-    # and must not hang when the local accelerator is unreachable
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            import jax
+    # exporting is an abstract trace — it needs no device, and must not
+    # hang when the local accelerator is unreachable
+    from ._platform import honor_jax_platforms
 
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass  # backend already initialized; keep it
+    honor_jax_platforms()
     platforms = args.platforms.split(",") if args.platforms else None
     out = export_forward(args.cfg, args.out, batch=args.batch,
                          platforms=platforms, normalize=args.normalize)

@@ -148,6 +148,9 @@ def run_chunk(chunk_cfg_path: str) -> str:
 
 
 def main(argv=None) -> int:
+    from ._platform import honor_jax_platforms
+
+    honor_jax_platforms()
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) != 1:
         print("usage: python -m tpukaldi.tools.run_chunk <chunk.cfg>",

@@ -452,17 +452,9 @@ def _run_experiment(
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    # honor JAX_PLATFORMS even where a site hook (e.g. the axon TPU
-    # plugin's sitecustomize) registers a backend that overrides the env
-    # var — `JAX_PLATFORMS=cpu python -m tpukaldi.tools.run_exp ...` must
-    # actually run on CPU (and not hang on an unreachable accelerator)
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            import jax
+    from ._platform import honor_jax_platforms
 
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass  # backend already initialized; keep it
+    honor_jax_platforms()
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print(
