@@ -153,10 +153,15 @@ def measure_train_fps(body, head, n_out, x, iters=10, windows=2, warmup=2):
         if stats["head"]:
             vars_h["batch_stats"] = stats["head"]
             mut_h = ["batch_stats"]
+        # heads with nonzero dnn_drop (e.g. the SincNet-raw recipe's
+        # 5x1024 relu+bn head, drop 0.15) need a dropout rng under
+        # train=True; rate-0 heads ignore it
         if mut_h:
-            logp, new_head = head.apply(vars_h, hf, train=True, mutable=mut_h)
+            logp, new_head = head.apply(vars_h, hf, train=True,
+                                        rngs={"dropout": key}, mutable=mut_h)
         else:
-            logp, new_head = head.apply(vars_h, hf, train=True), {}
+            logp = head.apply(vars_h, hf, train=True, rngs={"dropout": key})
+            new_head = {}
         nll = -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
         return nll, {
             "body": new_body.get("batch_stats", stats["body"]),
@@ -191,12 +196,25 @@ def measure_train_fps(body, head, n_out, x, iters=10, windows=2, warmup=2):
 def bench_zoo():
     """Per-family step frames/s at recipe shapes (VERDICT r2 #7): evidence
     that 'matching-or-beating on perf' extends beyond the flagship, and a
-    tripwire for kernel regressions.  Disable with TPUKALDI_BENCH_ZOO=0."""
-    from tpukaldi.models import GRU, LSTM, MLP, QLSTM, SincNet
+    tripwire for kernel regressions.  Disable with TPUKALDI_BENCH_ZOO=0.
+
+    Yields rows incrementally, one family at a time, each family contained
+    in its own try/except — a crash or wedge in one family must not drop
+    the remaining rows from the driver-captured output."""
+    for fam in (_zoo_mlp, _zoo_lstm_gru, _zoo_sincnet, _zoo_qlstm):
+        try:
+            yield from fam()
+        except TimeoutError:
+            raise  # the section budget alarm must still bail the section
+        except Exception as e:
+            print(f"[bench] zoo family {fam.__name__} failed: {e!r}",
+                  flush=True)
+
+
+def _zoo_mlp():
+    from tpukaldi.models import MLP
 
     rng = np.random.default_rng(1)
-    rows = []
-
     # TIMIT MLP mfcc recipe (TIMIT_MLP_mfcc_basic.cfg): 4x1024 relu+bn,
     # drop 0.15, softmax cd head, batch 128, 13-dim mfcc x 11-frame context
     # window = 143 input.  THIS is the arch behind BASELINE_FPS (the 87 s
@@ -213,7 +231,13 @@ def bench_zoo():
                    inp_dim=mlp_body.out_dim)
     x = jnp.asarray(rng.standard_normal((128, 143)), jnp.float32)
     fps = measure_train_fps(mlp_body, mlp_head, N_CD, x, iters=50)
-    rows.append(("train_frames_per_sec_per_chip_mlp_mfcc", fps))
+    yield ("train_frames_per_sec_per_chip_mlp_mfcc", fps)
+
+
+def _zoo_lstm_gru():
+    from tpukaldi.models import GRU, LSTM, MLP
+
+    rng = np.random.default_rng(1)
 
     def seq_opts(prefix, H, L, act):
         return {
@@ -236,8 +260,13 @@ def bench_zoo():
                    inp_dim=body.out_dim)
         x = jnp.asarray(rng.standard_normal((T, B, D)), jnp.float32)
         fps = measure_train_fps(body, head, N_CD, x)
-        rows.append((f"train_frames_per_sec_per_chip_{name}_fmllr", fps))
+        yield (f"train_frames_per_sec_per_chip_{name}_fmllr", fps)
 
+
+def _zoo_sincnet():
+    from tpukaldi.models import MLP, SincNet
+
+    rng = np.random.default_rng(1)
     # TIMIT SincNet raw recipe (TIMIT_SincNet_raw.cfg, exact arch):
     # 128/60/60/60 sinc+conv filters with per-layer (filt,time) laynorm
     # over 200ms windows (3200 samples @16k), frame mode, batch 128,
@@ -265,8 +294,13 @@ def bench_zoo():
     )
     x = jnp.asarray(rng.standard_normal((128, 3200)), jnp.float32)
     fps = measure_train_fps(sinc, head, N_CD, x)
-    rows.append(("train_frames_per_sec_per_chip_sincnet_raw", fps))
+    yield ("train_frames_per_sec_per_chip_sincnet_raw", fps)
 
+
+def _zoo_qlstm():
+    from tpukaldi.models import MLP, QLSTM
+
+    rng = np.random.default_rng(1)
     # DIRHA QLSTM recipe: 2x1024 bidir tanh quaternion cells, batch 16;
     # input dim 80 (quaternion layers need D % 4 == 0)
     qlstm = QLSTM(
@@ -280,8 +314,7 @@ def bench_zoo():
     head = MLP(options=_mlp_opts(str(N_CD), "softmax"), inp_dim=qlstm.out_dim)
     x = jnp.asarray(rng.standard_normal((T, 16, 80)), jnp.float32)
     fps = measure_train_fps(qlstm, head, N_CD, x)
-    rows.append(("train_frames_per_sec_per_chip_qlstm", fps))
-    return rows
+    yield ("train_frames_per_sec_per_chip_qlstm", fps)
 
 
 def _wait_for_tpu() -> bool:
