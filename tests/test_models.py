@@ -244,3 +244,66 @@ def test_remat_gradients_match():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("cls_name", ["CNN", "SincNet"])
+def test_conv_impl_dot_matches_xla(cls_name, monkeypatch):
+    """The default channels-last im2col/dot lowering and the NCH lax.conv
+    path (TPUKALDI_CONV_IMPL=xla) must agree numerically, including a
+    non-divisible pool (floor/trim semantics) and the (filt, time) laynorm
+    + batchnorm mix, with an identical param tree."""
+    from tpukaldi.models import CNN, SincNet
+
+    prefix = "cnn" if cls_name == "CNN" else "sinc"
+    opts = {
+        f"{prefix}_n_filt": "8,6",
+        f"{prefix}_len_filt": "33,5",
+        f"{prefix}_max_pool_len": "3,2",  # 468 % 3 == 0 fails -> trims tail
+        f"{prefix}_act": "relu,relu",
+        f"{prefix}_drop": "0.0,0.0",
+        f"{prefix}_use_laynorm": "True,False",
+        f"{prefix}_use_batchnorm": "False,True",
+        f"{prefix}_use_laynorm_inp": "True",
+        f"{prefix}_use_batchnorm_inp": "False",
+    }
+    if cls_name == "SincNet":
+        opts.update({
+            "sinc_sample_rate": "16000", "sinc_min_low_hz": "50",
+            "sinc_min_band_hz": "50", "sinc_fast": "False",
+        })
+    cls = CNN if cls_name == "CNN" else SincNet
+    model = cls(options=opts, inp_dim=500)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 500)), jnp.float32)
+
+    monkeypatch.setenv("TPUKALDI_CONV_IMPL", "dot")
+    v_dot = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                       x, train=True)
+    out_dot = model.apply(v_dot, x, train=False)
+
+    monkeypatch.setenv("TPUKALDI_CONV_IMPL", "xla")
+    v_xla = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                       x, train=True)
+    out_xla = model.apply(v_xla, x, train=False)
+
+    assert jax.tree_util.tree_structure(v_dot) == jax.tree_util.tree_structure(v_xla)
+    for a, b in zip(jax.tree_util.tree_leaves(v_dot),
+                    jax.tree_util.tree_leaves(v_xla)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert out_dot.shape == (4, model.out_dim)
+    np.testing.assert_allclose(np.asarray(out_dot), np.asarray(out_xla),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients agree too (the training path is what the bench measures)
+    def loss(model, v):
+        return lambda p: jnp.sum(
+            model.apply({**v, "params": p}, x, train=False) ** 2)
+
+    monkeypatch.setenv("TPUKALDI_CONV_IMPL", "dot")
+    g_dot = jax.grad(loss(model, v_dot))(v_dot["params"])
+    monkeypatch.setenv("TPUKALDI_CONV_IMPL", "xla")
+    g_xla = jax.grad(loss(model, v_xla))(v_xla["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_dot),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

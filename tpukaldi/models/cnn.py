@@ -21,6 +21,7 @@ Semantics follow the reference (neural_networks.py:1464-1556 CNN,
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict
 
 import jax
@@ -63,20 +64,77 @@ def _max_pool1d(x, pool: int):
     )
 
 
+# ---- channels-last / MXU lowering (the default compute path) --------------
+#
+# The NCH lax.conv path above maps the raw-waveform stacks badly onto the
+# TPU: layer 0 is a 1-input-channel conv (contraction dim 1 per tap) and the
+# (filt, time) laynorm + torch-layout batchnorm force relayouts around every
+# layer.  The default path below keeps activations channels-last (N, L, C)
+# and lowers each valid 1-D conv to an explicit im2col + one large
+# dot_general whose contraction dim is K*C (129 / 300 / 300 / 180 at the
+# TIMIT_SincNet_raw.cfg shapes) — dense MXU matmuls instead of C=1 convs.
+# Selectable via TPUKALDI_CONV_IMPL={dot (default), xla} for A/B benching;
+# both paths create identical parameter trees (names, shapes, init), so
+# checkpoints and torch imports are layout-independent.
+
+
+def _im2col(x, K: int):
+    """x (N, L, C) -> stride-1 valid patches (N, L-K+1, K*C), flattened in
+    (tap, channel) minor order to match kernel (O, I, K).transpose(2, 1, 0).
+    Static slices (not gather): XLA fuses them into a single copy."""
+    N, L, C = x.shape
+    L_out = L - K + 1
+    patches = jnp.stack([x[:, k:k + L_out, :] for k in range(K)], axis=2)
+    return patches.reshape(N, L_out, K * C)
+
+
+def _conv1d_dot(x, kernel):
+    """Valid stride-1 conv, channels-last via im2col + dot_general:
+    x (N, L, C), kernel (O, I, K) -> (N, L_out, O)."""
+    O, I, K = kernel.shape
+    w = kernel.transpose(2, 1, 0).reshape(K * I, O)  # (tap, chan) rows
+    return _im2col(x, K) @ w
+
+
+def _max_pool1d_cl(x, pool: int):
+    """Channels-last max-pool, torch semantics (stride = kernel, floor):
+    a reshape+max — no reduce_window — since the tail is trimmed."""
+    if pool <= 1:
+        return x
+    N, L, C = x.shape
+    L_out = L // pool
+    if L_out * pool != L:
+        x = x[:, : L_out * pool, :]
+    return x.reshape(N, L_out, pool, C).max(axis=2)
+
+
 class _CNNLayerNorm(nn.Module):
     """Reference LayerNorm instantiated with a (filt, time) shape
-    (neural_networks.py:1510-1512): normalizes over the LAST axis, affine
-    params over the full (filt, time) map."""
+    (neural_networks.py:1510-1512): normalizes over the reference's LAST
+    axis (time), affine params over the full (filt, time) map.  Accepts
+    either layout; the param tree is layout-independent."""
 
     n_filt: int
     n_time: int
     eps: float = 1e-6
+    channels_last: bool = False
 
     @nn.compact
-    def __call__(self, x):  # x (N, filt, time)
+    def __call__(self, x):  # x (N, filt, time) or (N, time, filt)
         gamma = self.param("gamma", nn.initializers.ones, (self.n_filt, self.n_time))
         beta = self.param("beta", nn.initializers.zeros, (self.n_filt, self.n_time))
-        return ref_laynorm(x, gamma, beta, self.eps)
+        if not self.channels_last:
+            return ref_laynorm(x, gamma, beta, self.eps)
+        # channels-last: time is axis 1; same unbiased-std formula as
+        # ref_laynorm, moments in f32
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.sum((xf - mean) ** 2, axis=1, keepdims=True) / max(
+            self.n_time - 1, 1
+        )
+        y = (gamma.T.astype(jnp.float32) * (xf - mean) / (jnp.sqrt(var) + self.eps)
+             + beta.T.astype(jnp.float32))
+        return y.astype(x.dtype)
 
 
 def _to_mel(hz):
@@ -165,7 +223,8 @@ class _ConvStack(nn.Module):
     def out_dim(self) -> int:
         return self.compute_out_dim(self.options, self.inp_dim)
 
-    def first_layer_conv(self, i, x, n_filt, len_filt):
+    def first_layer_kernel(self, n_filt, len_filt, dtype):
+        """Create layer-0 params and return (kernel (O, I=1, K), bias|None)."""
         raise NotImplementedError
 
     @nn.compact
@@ -188,12 +247,17 @@ class _ConvStack(nn.Module):
         if to_bool(o.get(f"{p}_use_batchnorm_inp", "False")):
             x = make_batchnorm(not train, name="bn_inp")(x)
 
+        # channels-last im2col/dot lowering by default; "xla" keeps the NCH
+        # lax.conv path for A/B benching (both build the same param tree)
+        cl = os.environ.get("TPUKALDI_CONV_IMPL", "dot") != "xla"
         N = x.shape[0]
-        x = x.reshape(N, 1, self.inp_dim)  # (N, C=1, samples)
+        x = x.reshape(N, self.inp_dim, 1) if cl else x.reshape(N, 1, self.inp_dim)
         current = self.inp_dim
         for i in range(len(n_filt)):
             if i == 0:
-                x = self.first_layer_conv(i, x, n_filt[i], len_filt[i])
+                kernel, bias = self.first_layer_kernel(
+                    n_filt[i], len_filt[i], x.dtype
+                )
             else:
                 kernel = self.param(
                     f"conv{i}",
@@ -205,19 +269,37 @@ class _ConvStack(nn.Module):
                     torch_linear_uniform(n_filt[i - 1] * len_filt[i]),
                     (n_filt[i],),
                 )
-                x = _conv1d(x, kernel) + bias[None, :, None]
-            x = _max_pool1d(x, pool[i])
+            if cl:
+                x = _conv1d_dot(x, kernel)
+                if bias is not None:
+                    x = x + bias[None, None, :]
+                x = _max_pool1d_cl(x, pool[i])
+            else:
+                x = _conv1d(x, kernel)
+                if bias is not None:
+                    x = x + bias[None, :, None]
+                x = _max_pool1d(x, pool[i])
             time = int((current - len_filt[i] + 1) / pool[i])
             if use_ln[i]:
-                x = _CNNLayerNorm(n_filt[i], time, name=f"ln{i}")(x)
+                x = _CNNLayerNorm(n_filt[i], time, channels_last=cl,
+                                  name=f"ln{i}")(x)
             if use_bn[i]:
                 # torch BatchNorm1d on (N, C, L): per-channel stats over N, L
-                xt = x.transpose(0, 2, 1).reshape(-1, n_filt[i])
-                xt = make_batchnorm(not train, name=f"bn{i}")(xt)
-                x = xt.reshape(N, time, n_filt[i]).transpose(0, 2, 1)
+                if cl:
+                    xt = make_batchnorm(not train, name=f"bn{i}")(
+                        x.reshape(-1, n_filt[i])
+                    )
+                    x = xt.reshape(N, time, n_filt[i])
+                else:
+                    xt = x.transpose(0, 2, 1).reshape(-1, n_filt[i])
+                    xt = make_batchnorm(not train, name=f"bn{i}")(xt)
+                    x = xt.reshape(N, time, n_filt[i]).transpose(0, 2, 1)
             x = act_fun(acts[i])(x)
             x = nn.Dropout(rate=drop[i], deterministic=not train)(x)
             current = time
+        if cl:
+            # the reference flattens (N, filt, time) — restore that order
+            x = x.transpose(0, 2, 1)
         return x.reshape(N, -1)
 
 
@@ -226,14 +308,12 @@ class CNN(_ConvStack):
 
     PREFIX = "cnn"
 
-    def first_layer_conv(self, i, x, n_filt, len_filt):
+    def first_layer_kernel(self, n_filt, len_filt, dtype):
         kernel = self.param(
-            f"conv{i}", torch_linear_uniform(len_filt), (n_filt, 1, len_filt)
+            "conv0", torch_linear_uniform(len_filt), (n_filt, 1, len_filt)
         )
-        bias = self.param(
-            f"conv{i}_b", torch_linear_uniform(len_filt), (n_filt,)
-        )
-        return _conv1d(x, kernel) + bias[None, :, None]
+        bias = self.param("conv0_b", torch_linear_uniform(len_filt), (n_filt,))
+        return kernel, bias
 
 
 class SincNet(_ConvStack):
@@ -246,7 +326,7 @@ class SincNet(_ConvStack):
 
     PREFIX = "sinc"
 
-    def first_layer_conv(self, i, x, n_filt, len_filt):
+    def first_layer_kernel(self, n_filt, len_filt, dtype):
         o = self.options
         sample_rate = int(o.get("sinc_sample_rate", 16000))
         min_low_hz = int(o.get("sinc_min_low_hz", 50))
@@ -277,7 +357,7 @@ class SincNet(_ConvStack):
             low_hz_.astype(jnp.float32), band_hz_.astype(jnp.float32),
             kernel_size, sample_rate, min_low_hz, min_band_hz,
         )
-        return _conv1d(x, filters[:, None, :].astype(x.dtype))
+        return filters[:, None, :].astype(dtype), None
 
 
 class logMelFb(nn.Module):
