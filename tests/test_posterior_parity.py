@@ -29,7 +29,8 @@ TOL = 1e-4  # BASELINE.json posterior max-abs-diff contract
 
 @pytest.mark.parametrize(
     "arch",
-    ["MLP", "CNN", "SincNet", "liGRU", "GRU", "LSTM", "QLSTM",
+    ["MLP", "CNN", "SincNet", "liGRU", "GRU", "LSTM", "RNN", "minimalGRU",
+     "QLSTM",
      # "best" = the published-best TIMIT ensemble composition (3 feature
      # streams, dual cd+mono labels, 5 architectures, joint loss);
      # "ae" = the autoencoder (mse op, un-normalized forward ark);
@@ -76,6 +77,28 @@ def test_training_trajectory_parity(arch, n_epochs, opt, lr, tmp_path_factory):
     # both frameworks actually learn
     assert ref[-1]["train_loss"] < ref[0]["train_loss"]
     assert tpu[-1]["train_loss"] < tpu[0]["train_loss"]
+
+
+def test_fusionrnn_composition_golden(tmp_path):
+    """fusionRNN is the one zoo family the reference cannot execute here —
+    its fusionRNN_jit hard-codes .cuda() (reference neural_networks.py:
+    719-996) and this torch is CPU-only — so the composition (fusion layer
+    -> fused bidir Li-GRU stack -> softmax head, trained one epoch through
+    the full driver and emitted as a prior-normalized posterior ark) is
+    regression-locked against a recorded golden instead
+    (tests/goldens/fusionrnn_posterior.npz; VERDICT r3 missing #3)."""
+    import os
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "goldens", "fusionrnn_posterior.npz")
+    got = rh.run_tpu_composition(str(tmp_path / "fusion"), arch="fusionRNN")
+    assert got, "no utterances emitted"
+    golden = np.load(golden_path)
+    assert set(golden.files) == set(got), (set(golden.files), set(got))
+    for utt in got:
+        np.testing.assert_allclose(
+            got[utt], golden[utt], rtol=0, atol=2e-5,
+            err_msg=f"fusionRNN posterior drifted for {utt}")
 
 
 def test_save_raw_fea_matches_reference(tmp_path):

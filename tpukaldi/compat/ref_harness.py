@@ -851,6 +851,63 @@ opt_dampening = 0.0
 opt_nesterov = False
 """
 
+# fusionRNN (DIRHA_fusionRNN_MFCC_6ch.cfg shape, scaled down): 2 fused
+# bidirectional Li-GRU layers, layer 0 a shared-weight 3-"mic" fusion over
+# the spliced mfcc stream.  tpukaldi-side ONLY: the reference's
+# fusionRNN_jit hard-codes .cuda() (neural_networks.py:757,category init)
+# so it cannot run on this CPU-only torch — the composition is instead
+# regression-locked against recorded goldens (tests/test_posterior_parity).
+_FUSION_ARCH = """[architecture1]
+arch_name = fusionRNN_layers
+arch_proto = proto/fusionRNN.proto
+arch_library = {library}
+arch_class = fusionRNN
+arch_pretrain_file = {pretrain1}
+arch_freeze = False
+arch_seq_model = True
+fusionrnn_lay = 16,16
+fusionrnn_drop = 0.0,0.0
+fusionrnn_bidir = True
+fusionrnn_act = relu,relu
+fusionrnn_do_fusion = True
+fusionrnn_fusion_layer_size = 48
+fusionrnn_number_of_mic = 3
+fusionrnn_fusion_act = prelu
+fusionrnn_fusion_reduce = sum
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+
+[architecture2]
+arch_name = MLP_softmax
+arch_proto = proto/MLP.proto
+arch_library = {library}
+arch_class = MLP
+arch_pretrain_file = {pretrain2}
+arch_freeze = False
+arch_seq_model = False
+dnn_lay = {n_pdfs}
+dnn_drop = 0.0
+dnn_use_laynorm_inp = False
+dnn_use_batchnorm_inp = False
+dnn_use_batchnorm = False
+dnn_use_laynorm = False
+dnn_act = softmax
+arch_lr = {lr}
+arch_halving_factor = 0.5
+arch_improvement_threshold = 0.001
+arch_opt = sgd
+opt_momentum = 0.0
+opt_weight_decay = 0.0
+opt_dampening = 0.0
+opt_nesterov = False
+"""
+
 # recurrent families the harness can drive through the reference:
 # class name -> (option prefix, activation)
 RECURRENT_SPECS = {
@@ -956,6 +1013,13 @@ for _cls in RECURRENT_SPECS:
         "\terr_final=cost_err(out_dnn2,lab_cd)",
         "out_dnn2",
     )
+_MODEL["fusionRNN"] = (
+    "out_dnn1=compute(fusionRNN_layers,mfcc)\n"
+    "\tout_dnn2=compute(MLP_softmax,out_dnn1)\n"
+    "\tloss_final=cost_nll(out_dnn2,lab_cd)\n"
+    "\terr_final=cost_err(out_dnn2,lab_cd)",
+    "out_dnn2",
+)
 
 _DATASET = """[dataset{idx}]
 data_name = {name}
@@ -1120,6 +1184,8 @@ def write_parity_cfg(
         template = _AE_ARCH
     elif arch == "rev":
         template = _REV_ARCH
+    elif arch == "fusionRNN":
+        template = _FUSION_ARCH
     else:
         prefix, act = RECURRENT_SPECS[arch]
         template = _RECURRENT_ARCH.format(cls=arch, prefix=prefix, act=act)
@@ -1338,6 +1404,10 @@ for _cls in RECURRENT_SPECS:
         ("architecture1", f"{_cls}_layers", _cls),
         ("architecture2", "MLP_softmax", "MLP"),
     )
+ARCH_CLASSES["fusionRNN"] = (
+    ("architecture1", "fusionRNN_layers", "fusionRNN"),
+    ("architecture2", "MLP_softmax", "MLP"),
+)
 
 
 def import_final_checkpoints(
@@ -1460,6 +1530,28 @@ def run_posterior_parity(
     run_experiment(tpu_cfg)
     tpu_ark = find_forward_ark(tpu_out, forward_out)
     return compare_posterior_arks(ref_ark, tpu_ark)
+
+
+def run_tpu_composition(
+    workdir: str, arch: str, seed: int = 1234
+) -> Dict[str, "np.ndarray"]:
+    """tpukaldi-SIDE-ONLY composition run: build the synthetic parity tree,
+    train `arch` for one epoch through the full tpukaldi driver, emit the
+    prior-normalized posterior ark for the test split, and return it as a
+    {utt: matrix} dict.  Used to regression-lock families the reference
+    cannot execute on this host (fusionRNN_jit hard-codes .cuda(),
+    reference neural_networks.py:719-996) against recorded goldens."""
+    tree = build_parity_tree(os.path.join(workdir, "tree"), seed=seed)
+    out = os.path.join(workdir, "tpu_exp")
+    cfg = write_parity_cfg(
+        tree, out, os.path.join(workdir, "tpu.cfg"), "tpukaldi", arch=arch)
+    from ..tools.run_exp import run_experiment
+
+    run_experiment(cfg)
+    ark = find_forward_ark(out, _MODEL[arch][1])
+    from ..io import kaldi_io as kio
+
+    return {k: m for k, m in kio.read_mat_ark(ark)}
 
 
 def run_save_raw_fea_parity(

@@ -219,9 +219,17 @@ def read_mat(fd_or_path: Union[str, BinaryIO]) -> np.ndarray:
     """Read one matrix (binary or text) at the current position / scp target."""
     fd = open_or_fd(fd_or_path)
     try:
-        if _peek(fd, 2) == BINARY_FLAG:
+        head = _peek(fd, 2)
+        if head == BINARY_FLAG:
             fd.read(2)
             return _read_binary_mat(fd)
+        if not head:
+            # Kaldi errors here too: silently yielding a (0,) matrix turned
+            # a bad scp offset / truncated ark into downstream shape chaos
+            raise EOFError(
+                "no matrix data at the requested position (bad scp offset "
+                "or truncated ark)"
+            )
         return _read_text_mat(fd)
     finally:
         if isinstance(fd_or_path, str):

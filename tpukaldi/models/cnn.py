@@ -67,15 +67,18 @@ def _max_pool1d(x, pool: int):
 # ---- channels-last / MXU lowering (the default compute path) --------------
 #
 # The NCH lax.conv path above maps the raw-waveform stacks badly onto the
-# TPU: layer 0 is a 1-input-channel conv (contraction dim 1 per tap) and the
-# (filt, time) laynorm + torch-layout batchnorm force relayouts around every
-# layer.  The default path below keeps activations channels-last (N, L, C)
-# and lowers each valid 1-D conv to an explicit im2col + one large
-# dot_general whose contraction dim is K*C (129 / 300 / 300 / 180 at the
-# TIMIT_SincNet_raw.cfg shapes) — dense MXU matmuls instead of C=1 convs.
-# Selectable via TPUKALDI_CONV_IMPL={dot (default), xla} for A/B benching;
-# both paths create identical parameter trees (names, shapes, init), so
-# checkpoints and torch imports are layout-independent.
+# TPU: the (filt, time) laynorm + torch-layout batchnorm force relayouts
+# around every layer.  The default path keeps activations channels-last
+# (N, L, C) — normalizations read the natural layout — and lowers each
+# valid 1-D conv through XLA's native NHC conv emitter, which streams the
+# implicit im2col through VMEM.  (Round 3 tried an explicit im2col +
+# dot_general here; measured on the real chip it LOSES 2.5x to the conv
+# emitter because the K=129 layer-0 patch tensor is a 129x-expanded HBM
+# round trip — ~200 MB at recipe shapes — while the emitter never
+# materializes it.)  Selectable via TPUKALDI_CONV_IMPL={nhc (default),
+# dot, xla} for A/B benching; all paths create identical parameter trees
+# (names, shapes, init), so checkpoints and torch imports are
+# layout-independent.
 
 
 def _im2col(x, K: int):
@@ -94,6 +97,16 @@ def _conv1d_dot(x, kernel):
     O, I, K = kernel.shape
     w = kernel.transpose(2, 1, 0).reshape(K * I, O)  # (tap, chan) rows
     return _im2col(x, K) @ w
+
+
+def _conv1d_nhc(x, kernel):
+    """Valid stride-1 conv, channels-last via XLA's native NHC emitter:
+    x (N, L, C), kernel (O, I, K) -> (N, L_out, O)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel.transpose(2, 1, 0),  # (K, I, O) = HIO
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
 
 
 def _max_pool1d_cl(x, pool: int):
@@ -247,9 +260,12 @@ class _ConvStack(nn.Module):
         if to_bool(o.get(f"{p}_use_batchnorm_inp", "False")):
             x = make_batchnorm(not train, name="bn_inp")(x)
 
-        # channels-last im2col/dot lowering by default; "xla" keeps the NCH
-        # lax.conv path for A/B benching (both build the same param tree)
-        cl = os.environ.get("TPUKALDI_CONV_IMPL", "dot") != "xla"
+        # channels-last NHC conv-emitter lowering by default; "dot" =
+        # explicit im2col+dot_general, "xla" = the NCH lax.conv path —
+        # both kept for A/B benching (all build the same param tree)
+        impl = os.environ.get("TPUKALDI_CONV_IMPL", "nhc")
+        cl = impl != "xla"
+        conv_cl = _conv1d_dot if impl == "dot" else _conv1d_nhc
         N = x.shape[0]
         x = x.reshape(N, self.inp_dim, 1) if cl else x.reshape(N, 1, self.inp_dim)
         current = self.inp_dim
@@ -270,7 +286,7 @@ class _ConvStack(nn.Module):
                     (n_filt[i],),
                 )
             if cl:
-                x = _conv1d_dot(x, kernel)
+                x = conv_cl(x, kernel)
                 if bias is not None:
                     x = x + bias[None, None, :]
                 x = _max_pool1d_cl(x, pool[i])

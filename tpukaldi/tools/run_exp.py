@@ -229,6 +229,10 @@ def _run_experiment(
         ep = ep_plan.epoch
         t_ep = time.time()
         host_load["s"] = 0.0
+        _producer_base = feeder_state["prefetcher"].producer_seconds
+
+        def _producer_s(_base=_producer_base):
+            return feeder_state["prefetcher"].producer_seconds - _base
         tr_results: List[ChunkResult] = []
         ep_valid_results: List[ChunkResult] = []
         valid_perf: Dict[str, ChunkResult] = {}
@@ -317,9 +321,15 @@ def _run_experiment(
                 f" host_load={host_load['s']:.2f}"
                 f" train_wall={tr_time:.2f}"
                 f" valid_wall={valid_wall:.2f}"
+                # host_load_producer: seconds the prefetch thread actually
+                # spent loading this epoch (overlapped with device work —
+                # NOT additive with the other phases; host_load above is
+                # the un-overlapped remainder the driver waited on)
+                f" host_load_producer={_producer_s():.2f}"
                 + "".join(
                     f" {k}={_sum_phase(tr_results + ep_valid_results, k):.2f}"
-                    for k in ("h2d", "dispatch", "drain", "ckpt_block",
+                    for k in ("h2d", "dispatch", "drain", "drain_compute",
+                              "drain_fetch", "ckpt_block",
                               "restore_wait", "host_batch")
                 )
                 + f" driver_other={max(epoch_wall - accounted, 0.0):.2f}"
@@ -459,14 +469,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not argv:
         print(
             "usage: python -m tpukaldi.tools.run_exp <cfg> [--mesh] "
-            "[--sec,field=value ...]"
+            "[--check-data] [--sec,field=value ...]"
         )
         return 2
     cfg_file = argv[0]
     rest = argv[1:]
     use_mesh = "--mesh" in rest
-    overrides = [a for a in rest if a != "--mesh"]
+    check_data = "--check-data" in rest
+    overrides = [a for a in rest if a not in ("--mesh", "--check-data")]
     try:
+        if check_data:
+            # preflight-only: validate the real data tree the cfg points
+            # at (scp targets, ali.gz+final.mdl, counts, graph dirs) and
+            # exit without training (VERDICT r3 #8)
+            from .check_data import run_check
+
+            return run_check(cfg_file, overrides)
         run_experiment(cfg_file, overrides=overrides, use_mesh=use_mesh)
     except ConfigError as e:
         print(f"config error: {e}", file=sys.stderr)
