@@ -160,6 +160,15 @@ def _mlp_opts(lay, act, bn=None, drop=None):
     }
 
 
+def _dropout_key(seed):
+    """Mirror the production chunk runtime's dropout-PRNG choice
+    (train/chunk_runtime.py): hardware rbg keys on TPU, threefry elsewhere —
+    the bench must measure the stream the real train step draws."""
+    impl = os.environ.get("TPUKALDI_DROPOUT_PRNG") or (
+        "rbg" if jax.default_backend() == "tpu" else None)
+    return jax.random.key(seed, impl=impl)
+
+
 def measure_train_fps(body, head, n_out, x, iters=10, windows=2, warmup=2):
     """frames/s of a jitted sgd train step on body+softmax-head; `x` is the
     recipe-shaped input ((T,B,D) seq or (B,D) frame mode); frames = rows of
@@ -225,7 +234,7 @@ def measure_train_fps(body, head, n_out, x, iters=10, windows=2, warmup=2):
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), new_stats, opt, loss
 
-    key = jax.random.key(0)
+    key = _dropout_key(0)
     for _ in range(warmup):
         key, sub = jax.random.split(key)
         params, stats, opt, loss = step(params, stats, opt, x, y, sub)
@@ -472,7 +481,7 @@ def main():
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), new_stats, opt, loss
 
-    key = jax.random.key(0)
+    key = _dropout_key(0)
     try:
         with _Budget(int(os.environ.get(
                 "TPUKALDI_BENCH_HEADLINE_BUDGET", "1500")), "headline"):
@@ -670,6 +679,40 @@ def main():
               round(e2e_cad["epoch_s"], 1), "s",
               round(87.0 / e2e_cad["epoch_s"], 2))
 
+    # ---- Librispeech-100h-scale soak incl. forward (VERDICT r3 #6) -------
+    # the reference runs train -> valid -> forward -> decode per experiment;
+    # this row measures that whole pipeline at ~3x the round-2 soak scale
+    # (90k train utts / ~26M frames) with the phase ledger active.  Runs
+    # LAST: it is the most expensive section and a budget overrun must not
+    # cost any other row.
+    if os.environ.get("TPUKALDI_BENCH_SOAK", "1") != "0":
+        try:
+            with _Budget(int(os.environ.get(
+                    "TPUKALDI_BENCH_SOAK_BUDGET", "2700")), "soak section"):
+                soak = bench_soak_epoch()
+                _emit("soak_librispeech_epoch_seconds",
+                      round(soak["epoch_s"], 1), "s",
+                      # vs_baseline: reference 87 s/epoch was ~1.12M TIMIT
+                      # frames; scale it to this corpus' frame count
+                      round(87.0 * (soak["n_frames"] / 1.12e6)
+                            / soak["epoch_s"], 2))
+                _emit("soak_epoch_frames_per_sec",
+                      round(soak["fps"], 1), "frames/s",
+                      round(soak["fps"] / BASELINE_FPS, 2))
+                if soak.get("forward_fps"):
+                    _emit("soak_forward_frames_per_sec_incl_ark_write",
+                          round(soak["forward_fps"], 1), "frames/s",
+                          round(soak["forward_fps"] / BASELINE_FPS, 2))
+                wall = max(soak["phases"].get("epoch_wall", 0.0), 1e-9)
+                for k, v in soak["phases"].items():
+                    if k != "epoch_wall":
+                        _emit(f"soak_phase_{k}_seconds", round(v, 2), "s",
+                              round(v / wall, 3))
+        except TimeoutError as e:
+            import sys
+
+            print(f"[bench] {e}; soak skipped", file=sys.stderr)
+
     # final stdout lines: re-emit the load-bearing rows so the driver's
     # 20-line tail cannot truncate them away, headline strictly last
     # (the driver parses the final line); the complete set is in BENCH.json
@@ -793,6 +836,93 @@ def bench_e2e_epoch(ckpt_every=None):
             "phases": phases,
             "forward_fps": fwd_frames / fwd_secs if fwd_secs else None,
             "forward_s": fwd_secs}
+
+
+def bench_soak_epoch():
+    """Librispeech-100h-scale soak: 90k train utts (~26M frames, 40-dim,
+    1944 classes) through the FULL driver — train + valid + phase ledger +
+    async ckpt (cadence 8) + posterior-emission forward over a 1k-utt test
+    split — warm (2nd) epoch reported with phases (VERDICT r3 #6).
+    Scale knobs: TPUKALDI_SOAK_UTTS / TPUKALDI_SOAK_CHUNKS."""
+    import re
+    import shutil
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tpukaldi.data.synth import generate_corpus, load_corpus, write_cfg
+
+    n_train = int(os.environ.get("TPUKALDI_SOAK_UTTS", "90000"))
+    n_chunks = int(os.environ.get("TPUKALDI_SOAK_CHUNKS", "120"))
+    cache = os.environ.get(
+        "TPUKALDI_SOAK_CORPUS", f"/tmp/tpukaldi_soak_corpus_{n_train}"
+    )
+    marker = os.path.join(cache, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(cache, ignore_errors=True)
+        generate_corpus(cache, n_utts=(n_train, 400, 1000), feat_dim=D,
+                        n_classes=N_CD, min_len=150, max_len=430, seed=11)
+        open(marker, "w").close()
+    corpus = load_corpus(cache)
+    out = tempfile.mkdtemp(prefix="tpukaldi_bench_soak_")
+    cfg = write_cfg(
+        corpus, out, arch="liGRU",
+        hidden="550,550,550,550,550", n_epochs=2, n_chunks=n_chunks,
+        batch_size=B, cw=0, lr=0.0004,
+    )
+    n_lay = 5
+    text = open(cfg).read()
+    for field, value in (
+        ("ligru_drop", ",".join(["0.2"] * n_lay)),
+        ("ligru_use_laynorm", ",".join(["False"] * n_lay)),
+        ("ligru_use_batchnorm", ",".join(["True"] * n_lay)),
+        ("ligru_act", ",".join(["relu"] * n_lay)),
+    ):
+        text = re.sub(rf"^{field} = .*$", f"{field} = {value}", text,
+                      count=1, flags=re.M)
+    open(cfg, "w").write(text)
+    import contextlib
+
+    prev = os.environ.get("TPUKALDI_CKPT_EVERY")
+    os.environ["TPUKALDI_CKPT_EVERY"] = "8"
+    try:
+        from tpukaldi.tools.run_exp import run_experiment
+
+        with open(os.path.join(out, "bench_driver.log"), "w") as logf, \
+                contextlib.redirect_stdout(logf):
+            run_experiment(cfg)
+    finally:
+        if prev is None:
+            os.environ.pop("TPUKALDI_CKPT_EVERY", None)
+        else:
+            os.environ["TPUKALDI_CKPT_EVERY"] = prev
+    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
+    warm = [l for l in lines if l.startswith("ep=1")][0]
+    epoch_s = float(re.search(r"time\(s\)=(\d+)", warm).group(1))
+    n_frames = sum(
+        int(m.group(1))
+        for m in re.finditer(r"frames=(\d+)", _cat_infos(out, "train_.*ep1"))
+    )
+    phases = {}
+    phase_lines = [l for l in lines if l.startswith("phases ep=1 ")]
+    if phase_lines:
+        phases = {
+            k: float(v)
+            for k, v in re.findall(r"(\w+)=([\d.]+)", phase_lines[-1])
+            if k != "ep"
+        }
+    fwd_info = _cat_infos(out, "forward_")
+    fwd_frames = sum(
+        int(m.group(1)) for m in re.finditer(r"frames=(\d+)", fwd_info))
+    fwd_secs = sum(
+        float(m.group(1))
+        for m in re.finditer(r"elapsed_time_chunk=([\d.]+)", fwd_info))
+    shutil.rmtree(out, ignore_errors=True)
+    return {"epoch_s": max(epoch_s, 1.0),
+            "fps": n_frames / max(epoch_s, 1.0),
+            "n_frames": n_frames,
+            "phases": phases,
+            "forward_fps": fwd_frames / fwd_secs if fwd_secs else None}
 
 
 def _cat_infos(out, pattern):

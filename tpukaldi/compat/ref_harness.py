@@ -1741,6 +1741,85 @@ def run_trajectory_parity(
             parse_res_res(os.path.join(tpu_out, "res.res")))
 
 
+def run_trajectory_variance_control(
+    workdir: str,
+    arch: str = "liGRU",
+    n_epochs: int = 3,
+    seed: int = 1234,
+    lr: float = 0.002,
+    batch_size: int = 8,
+    opt: str = "rmsprop",
+    exp_seeds: Tuple[int, int] = (2234, 4321),
+    n_utts=(24, 8, 6),
+    noise: float = 1.6,
+):
+    """Variance-matched trajectory-parity control (VERDICT r3 weak #6 / #7):
+    train the REFERENCE twice from the same common-init W0 with two
+    different [exp] shuffle seeds, and tpukaldi once from the converted W0.
+    The reference's own seed-to-seed per-epoch loss spread is the measured
+    noise floor of the comparison; the cross-framework gap must sit inside
+    that bracket for the parity claim to be more than a coarse tolerance.
+
+    Returns (ref_rows_a, ref_rows_b, tpu_rows)."""
+    tree = build_parity_tree(
+        os.path.join(workdir, "tree"), seed=seed, n_utts=n_utts, noise=noise)
+    stubs = make_stub_bin_dir(os.path.join(workdir, "bin"))
+
+    init_out = os.path.join(workdir, "ref_init")
+    init_cfg = write_parity_cfg(
+        tree, init_out, os.path.join(workdir, "ref_init.cfg"), "reference",
+        arch=arch, n_epochs=1, lr=lr, batch_size=batch_size, opt=opt,
+    )
+    proc = run_reference_experiment(init_cfg, stubs)
+    pretrain_pkls = []
+    for section, _, _ in ARCH_CLASSES[arch]:
+        pkl = os.path.join(init_out, "exp_files", f"final_{section}.pkl")
+        if not os.path.exists(pkl):
+            raise RuntimeError(
+                f"init run produced no {pkl} (rc={proc.returncode}):\n"
+                f"{proc.stdout.decode()[-3000:]}")
+        pretrain_pkls.append(pkl)
+
+    ref_rows = []
+    for tag, exp_seed in zip(("a", "b"), exp_seeds):
+        ref_out = os.path.join(workdir, f"ref_traj_{tag}")
+        ref_cfg = write_parity_cfg(
+            tree, ref_out, os.path.join(workdir, f"ref_traj_{tag}.cfg"),
+            "reference", arch=arch, n_epochs=n_epochs,
+            pretrain=tuple(pretrain_pkls), lr=lr, batch_size=batch_size,
+            opt=opt, seed=exp_seed,
+        )
+        proc = run_reference_experiment(ref_cfg, stubs)
+        res = os.path.join(ref_out, "res.res")
+        if not os.path.exists(res):
+            raise RuntimeError(
+                f"reference control run {tag} wrote no res.res (rc="
+                f"{proc.returncode}):\n{proc.stdout.decode()[-3000:]}")
+        ref_rows.append(parse_res_res(res))
+
+    tpu_out = os.path.join(workdir, "tpu_traj")
+    os.makedirs(os.path.join(tpu_out, "exp_files"), exist_ok=True)
+    from .torch_import import convert_checkpoint_file
+
+    ckpts = []
+    for section, arch_name, class_name in ARCH_CLASSES[arch]:
+        ckpt = os.path.join(tpu_out, "exp_files", f"init_{arch_name}.ckpt")
+        convert_checkpoint_file(
+            os.path.join(init_out, "exp_files", f"final_{section}.pkl"),
+            ckpt, class_name)
+        ckpts.append(ckpt)
+    tpu_cfg = write_parity_cfg(
+        tree, tpu_out, os.path.join(workdir, "tpu_traj.cfg"), "tpukaldi",
+        arch=arch, n_epochs=n_epochs, pretrain=tuple(ckpts),
+        lr=lr, batch_size=batch_size, opt=opt, seed=exp_seeds[0],
+    )
+    from ..tools.run_exp import run_experiment
+
+    run_experiment(tpu_cfg)
+    return (ref_rows[0], ref_rows[1],
+            parse_res_res(os.path.join(tpu_out, "res.res")))
+
+
 def main(argv=None) -> int:
     import argparse
 

@@ -47,10 +47,16 @@ def generate_corpus(
     feats_scp, lab_folder = {}, {}
     counts = np.zeros(n_classes)
     os.makedirs(root, exist_ok=True)
-    for split in splits:
+    for si, split in enumerate(splits):
         d = os.path.join(root, split)
         os.makedirs(d, exist_ok=True)
-        n = n_utts if split == "train" else max(n_utts // 3, 2)
+        # n_utts: one int (dev/test get a third) or a per-split sequence —
+        # large-scale soaks need a big train split WITHOUT a proportionally
+        # huge forward split
+        if isinstance(n_utts, (tuple, list)):
+            n = n_utts[si]
+        else:
+            n = n_utts if split == "train" else max(n_utts // 3, 2)
         with ArkScpWriter(
             os.path.join(d, "feats.ark"), os.path.join(d, "feats.scp")
         ) as w, open(os.path.join(d, "labels.ark"), "wb") as labf, open(

@@ -333,7 +333,16 @@ class ChunkRuntime:
     def _batches(self, chunk: ChunkData, batch_size: int, train: bool, seed: int):
         if self.seq_model:
             rng = np.random.default_rng(seed) if train else None
-            return iter_seq_batches(chunk, batch_size, rng=rng)
+            # TPUKALDI_PAD_TO_BUCKET=0: pad sequences exactly to the batch
+            # max like the reference (no bucket rounding).  Bucketing is
+            # the TPU-friendly default (few compiled shapes), but its extra
+            # padded rows enter (T*B)-flattened batchnorm statistics the
+            # reference never sees — the parity harness runs with exact
+            # padding so trajectory comparisons are shape-identical.
+            pad_to_bucket = os.environ.get(
+                "TPUKALDI_PAD_TO_BUCKET", "1") != "0"
+            return iter_seq_batches(
+                chunk, batch_size, rng=rng, pad_to_bucket=pad_to_bucket)
         return iter_frame_batches(chunk, batch_size)
 
     def _effective_bs(self, chunk: ChunkData, batch_size: int) -> int:
@@ -373,8 +382,17 @@ class ChunkRuntime:
         # per-batch dropout keys are fold_in(chunk_key, batch_index) — a
         # pure function of (task.seed, batch index), so K-step fusion is
         # bit-transparent (the fused path uses the same keys the unfused
-        # path would)
-        chunk_key = jax.random.key(task.seed) if train else None
+        # path would).  On TPU the keys use the hardware RngBitGenerator
+        # ("rbg") impl: threefry dropout masks cost ~100 VPU ops per random
+        # word and measurably slow dropout-heavy archs (SincNet/CNN raw
+        # stacks: ~1.8 ms/step at recipe shapes); rbg is counter-based and
+        # equally deterministic per (seed, batch index), it just draws a
+        # different (backend-native) stream.  Override with
+        # TPUKALDI_DROPOUT_PRNG=threefry2x32|rbg.
+        impl = os.environ.get("TPUKALDI_DROPOUT_PRNG") or (
+            "rbg" if jax.default_backend() == "tpu" else None)
+        chunk_key = (
+            jax.random.key(task.seed, impl=impl) if train else None)
         K = getattr(self, "_multistep_k", 1)
         # bounded K-batch lookahead window instead of materializing every
         # padded batch of the chunk (which would hold a second full padded
