@@ -162,10 +162,11 @@ def _mlp_opts(lay, act, bn=None, drop=None):
 
 def _dropout_key(seed):
     """Mirror the production chunk runtime's dropout-PRNG choice
-    (train/chunk_runtime.py): hardware rbg keys on TPU, threefry elsewhere —
-    the bench must measure the stream the real train step draws."""
-    impl = os.environ.get("TPUKALDI_DROPOUT_PRNG") or (
-        "rbg" if jax.default_backend() == "tpu" else None)
+    (train/chunk_runtime.py): threefry unless TPUKALDI_DROPOUT_PRNG
+    overrides — hardware rbg keys MEASURED 2x slower on the dropout-heavy
+    SincNet step on this stack (the RngBitGenerator op breaks XLA's
+    elementwise fusion around the mask)."""
+    impl = os.environ.get("TPUKALDI_DROPOUT_PRNG") or None
     return jax.random.key(seed, impl=impl)
 
 
@@ -351,7 +352,10 @@ def _zoo_sincnet():
         inp_dim=sinc.out_dim,
     )
     x = jnp.asarray(rng.standard_normal((128, 3200)), jnp.float32)
-    fps = measure_train_fps(sinc, head, N_CD, x)
+    # 128-frame steps are dispatch-latency-prone over the tunnel; longer
+    # windows amortize the RTT like the MLP row's iters=50
+    fps = measure_train_fps(sinc, head, N_CD, x, iters=30, windows=3,
+                            warmup=3)
     yield ("train_frames_per_sec_per_chip_sincnet_raw", fps)
 
 

@@ -247,11 +247,13 @@ def test_remat_gradients_match():
 
 
 @pytest.mark.parametrize("cls_name", ["CNN", "SincNet"])
-def test_conv_impl_dot_matches_xla(cls_name, monkeypatch):
-    """The default channels-last im2col/dot lowering and the NCH lax.conv
-    path (TPUKALDI_CONV_IMPL=xla) must agree numerically, including a
-    non-divisible pool (floor/trim semantics) and the (filt, time) laynorm
-    + batchnorm mix, with an identical param tree."""
+@pytest.mark.parametrize("impl", ["dot", "pallas"])
+def test_conv_impl_dot_matches_xla(cls_name, impl, monkeypatch):
+    """Every conv lowering — channels-last im2col/dot, the fused Pallas
+    conv+pool layer-0 kernel (interpret mode off-TPU), and the NCH
+    lax.conv path (TPUKALDI_CONV_IMPL=xla) — must agree numerically,
+    including a non-divisible pool (floor/trim semantics) and the
+    (filt, time) laynorm + batchnorm mix, with an identical param tree."""
     from tpukaldi.models import CNN, SincNet
 
     prefix = "cnn" if cls_name == "CNN" else "sinc"
@@ -276,7 +278,7 @@ def test_conv_impl_dot_matches_xla(cls_name, monkeypatch):
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((4, 500)), jnp.float32)
 
-    monkeypatch.setenv("TPUKALDI_CONV_IMPL", "dot")
+    monkeypatch.setenv("TPUKALDI_CONV_IMPL", impl)
     v_dot = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
                        x, train=True)
     out_dot = model.apply(v_dot, x, train=False)
@@ -299,7 +301,7 @@ def test_conv_impl_dot_matches_xla(cls_name, monkeypatch):
         return lambda p: jnp.sum(
             model.apply({**v, "params": p}, x, train=False) ** 2)
 
-    monkeypatch.setenv("TPUKALDI_CONV_IMPL", "dot")
+    monkeypatch.setenv("TPUKALDI_CONV_IMPL", impl)
     g_dot = jax.grad(loss(model, v_dot))(v_dot["params"])
     monkeypatch.setenv("TPUKALDI_CONV_IMPL", "xla")
     g_xla = jax.grad(loss(model, v_xla))(v_xla["params"])

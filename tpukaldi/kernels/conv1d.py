@@ -1,0 +1,416 @@
+"""Fused 1-D conv + max-pool Pallas kernel for the raw-waveform front-ends.
+
+The SincNet/CNN recipes' layer 0 is a single-input-channel valid conv over
+3200-sample windows (K=129, 128 filters at TIMIT_SincNet_raw.cfg shapes,
+reference neural_networks.py:1559-1665) followed by max_pool1d — half the
+FLOPs of the whole conv stack.  XLA's conv emitter runs it well below
+speed-of-light on a v5e because the C=1 implicit-GEMM tiles poorly; this
+kernel lowers it explicitly:
+
+- grid (N, time-blocks); each program DMAs its overlapping input window
+  HBM->VMEM and builds the shifted-slice patch matrix IN VMEM (never
+  materialized in HBM — the explicit-im2col alternative is a 129x-expanded
+  ~200 MB HBM round trip at recipe shapes).  Mosaic cannot concat K slices
+  at K distinct lane offsets, and its strided rotate caps per-vreg shifts
+  at the 128-lane vreg width, so the patch matrix is built with ONE
+  small-shift strided rotate in REVERSED tap order (row j right-rolled by
+  j+1, read through a 128-aligned column window, gives xb[127-j :
+  127-j+ct]); the weights are pre-reversed OUTSIDE the kernel, which makes
+  the reversal free,
+- one full-depth MXU pass for taps 0..127; tap 128 (odd sinc length) is a
+  VPU rank-1 epilogue — another systolic pass would stream all ct rows
+  again for a 1/128-occupied contraction,
+- max-pool (torch semantics: stride == kernel, floor) fused on the block
+  with the argmax index saved as an int8 residual,
+- custom VJP: the backward rebuilds the patch block in VMEM, scatters the
+  pooled cotangent through the saved argmax, accumulates dW across the
+  sequential grid, and computes dX (the recipes apply a LEARNABLE input
+  laynorm before layer 0, so the input cotangent is live) as one MXU
+  contraction over the filter axis followed by a strided rotate that turns
+  the anti-diagonal sums into a single sublane reduction, staged per block
+  and folded outside the kernel to keep block writes conflict-free.
+
+Supported: single input channel, 1 <= K <= 129, stride 1, valid padding —
+exactly the raw-waveform layer-0 shapes.  Deeper layers (C>1, contraction
+K*C = 300/180 at recipe shapes) stay on the XLA conv emitter, which tiles
+those fine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_K = 129  # one 128-tap MXU pass + one rank-1 epilogue tap
+
+
+def _choose_block(lp: int, pool: int) -> int:
+    """Pooled rows per grid block.  Multi-block grids need every block's
+    conv-row span (bt*pool) to be a 128-lane multiple: the per-block HBM
+    DMA starts at b*ct, and Mosaic requires 128-aligned lane offsets."""
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if lp % cand == 0 and (cand * pool) % 128 == 0:
+            return cand
+    return lp  # single block: start offset 0 is trivially aligned
+
+
+WB = 8  # windows per program: amortizes DMA latency + grid-step overhead
+# (measured: at 1 window/program the per-program overhead alone was
+# ~6 us x 256 programs = 1.5 ms — as much as the whole conv math)
+
+
+def _load_windows(x_hbm, scratch, sems, n, start, width):
+    """DMA x[n*WB + w, start:start+width] HBM->VMEM scratch row w for all
+    WB windows CONCURRENTLY (start all, then wait all — one latency).
+    Zero the scratch tail so taps past the window read finite values
+    (they meet zero weights, and 0 * garbage could be NaN)."""
+    width = ((width + 127) // 128) * 128  # Mosaic: 128-aligned DMA width
+    dmas = []
+    for w in range(WB):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[n * WB + w, :, pl.ds(start, width)],
+            scratch.at[w, :, :width], sems.at[w])
+        dma.start()
+        dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
+    scratch[:, :, width:] = jnp.zeros(
+        (WB, 1, scratch.shape[2] - width), scratch.dtype)
+
+
+def _rolled(scratch, w):
+    """Strided rotate of scratch row w broadcast over 128 rows (row j
+    right-rolled by j+1 — max shift 128, within Mosaic's per-vreg limit).
+    Read through the 128-aligned column window [128 : 128+ct) it is the
+    patch matrix in REVERSED tap order (row j = xb[127-j : 127-j+ct]);
+    through [256 : 256+ct) rows 120..127 cover taps 135..128.  `w` may be
+    traced (fori_loop index): the leading scratch dim is untiled."""
+    Wp = scratch.shape[2]
+    segb = jnp.broadcast_to(scratch[w, 0:1, :], (128, Wp))
+    return pltpu.roll(segb, 1, axis=1, stride=1, stride_axis=0)
+
+
+def _patches_rev(scratch, w, ct):
+    return _rolled(scratch, w)[:, 128:128 + ct]
+
+
+def _fwd_kernel(x_hbm, wrev_ref, wtail_ref, y_ref, idx_ref, scratch, sems,
+                *, K, pool, bt, mul_dtype):
+    """One (n, b) program: pooled rows [b*bt, (b+1)*bt) of WB windows."""
+    ct = bt * pool
+    n, b = pl.program_id(0), pl.program_id(1)
+    _load_windows(x_hbm, scratch, sems, n, b * ct, ct + K - 1)
+
+    def body(w, _):
+        # fori_loop (not a python unroll): an 8x-unrolled body blows
+        # Mosaic's compile time past the driver budget
+        rolled = _rolled(scratch, w)
+        p2r = rolled[:, 128:128 + ct]  # (128, ct), row j = tap 127-j
+        # bf16 multiply / f32 accumulate = XLA's DEFAULT matmul precision
+        # on TPU (the same arithmetic the lax.conv paths run); f32
+        # operands would lower to the 3-pass decomposition and triple the
+        # MXU time
+        acc = jax.lax.dot_general(
+            p2r.astype(mul_dtype), wrev_ref[:, :].astype(mul_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (ct, O)
+        if K > 128:
+            # taps 128..135 (only those < K carry nonzero weights): one
+            # 8-deep MXU pass over the second aligned window of the SAME
+            # rotate — rows 120..127 = taps 135..128
+            p2b = rolled[120:128, 256:256 + ct]
+            acc = acc + jax.lax.dot_general(
+                p2b.astype(mul_dtype), wtail_ref[:, :].astype(mul_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # pool via a row-merge reshape — 3 consecutive rows' lanes become
+        # one row of pool*O lanes, and the pool reduces over ALIGNED lane
+        # slices.  (The "natural" (bt, pool, O) reshape forces a pool-3
+        # sublane retile that measured ~1.8 ms/step with max+argmax.)
+        O = acc.shape[-1]
+        g = acc.reshape(bt, pool * O)
+        parts = [g[:, i * O:(i + 1) * O] for i in range(pool)]
+        m = parts[0]
+        for pt in parts[1:]:
+            m = jnp.maximum(m, pt)
+        # first-match argmax (torch semantics) by equality against the
+        # max; int32 intermediates — an i1-mask select into int8 hits a
+        # (8,128)->(32,128) relayout Mosaic refuses
+        idx = jnp.full((bt, O), pool - 1, jnp.int32)
+        for i in range(pool - 2, -1, -1):
+            idx = jnp.where(parts[i] == m, jnp.int32(i), idx)
+        y_ref[w, :, :] = m.astype(y_ref.dtype)
+        idx_ref[w, :, :] = idx.astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, WB, body, 0)
+
+
+def _bwd_kernel(dy_ref, idx_ref, w_ref, wtail_ref, x_hbm, dwrev_ref,
+                dwtail_ref, dxs_ref, scratch, sems, *, K, pool, bt,
+                mul_dtype):
+    """Accumulate reversed-order dW plus the tail tap over the sequential
+    grid, and stage each window's dX (overlaps folded by caller)."""
+    ct = bt * pool
+    n, b = pl.program_id(0), pl.program_id(1)
+    _load_windows(x_hbm, scratch, sems, n, b * ct, ct + K - 1)
+
+    is_first = jnp.logical_and(n == 0, b == 0)
+
+    @pl.when(is_first)
+    def _():
+        dwrev_ref[:, :] = jnp.zeros_like(dwrev_ref)
+        dwtail_ref[:, :] = jnp.zeros_like(dwtail_ref)
+
+    def body(w, _):
+        dy = dy_ref[w, :, :].astype(jnp.float32)  # (bt, O)
+        idx = idx_ref[w, :, :]  # (bt, O) int8
+
+        sel = jax.lax.broadcasted_iota(
+            jnp.int32, (bt, pool, dy.shape[-1]), 1)
+        dconv = jnp.where(sel == idx[:, None, :].astype(jnp.int32),
+                          dy[:, None, :], 0.0)
+        dconv = dconv.reshape(ct, dy.shape[-1])  # (ct, O)
+
+        rolled = _rolled(scratch, w)
+        p2r = rolled[:, 128:128 + ct].astype(mul_dtype)
+        dw_blk = jax.lax.dot_general(
+            p2r, dconv.astype(mul_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (128, O), row j = d w[127-j]
+        dwrev_ref[:, :] += dw_blk
+        if K > 128:  # tail taps: 8-row pass, rows r = taps 135-r
+            p2b = rolled[120:128, 256:256 + ct].astype(mul_dtype)
+            dwtail_ref[:, :] += jax.lax.dot_general(
+                p2b, dconv.astype(mul_dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # dX: dx[s] = sum_k dconv[s-k, :] . w[k, :].  One MXU contraction
+        # over O gives M (rows = taps 0..127); rolling row k RIGHT by k
+        # (shift 0, stride 1 — within the vreg limit) turns the
+        # anti-diagonal sums into one sublane reduction; tap 128 adds a
+        # constant 128-lane rotation.
+        mt = jax.lax.dot_general(
+            w_ref[:, :].astype(mul_dtype), dconv.astype(mul_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (128, ct), row = tap
+        Wd = dxs_ref.shape[2]
+        mt_p = jnp.pad(mt, ((0, 0), (0, Wd - ct)))
+        rolled = pltpu.roll(mt_p, 0, axis=1, stride=1, stride_axis=0)
+        dx = jnp.sum(rolled, axis=0, keepdims=True)  # (1, Wd)
+        for k in range(128, K):  # wtail rows are tap 135-r
+            mrow = jax.lax.dot_general(
+                wtail_ref[135 - k:136 - k, :].astype(jnp.float32), dconv,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, ct)
+            mrow_p = jnp.pad(mrow, ((0, 0), (0, Wd - ct)))
+            dx = dx + pltpu.roll(mrow_p, k, axis=1)
+        # the stage block spans all n_blk rows (a 1-row block would
+        # violate the sublane tiling); write only this program's row
+        dxs_ref[w, pl.ds(b, 1), :] = dx.astype(dxs_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, WB, body, 0)
+
+
+def _w_split_rev(w, dtype):
+    """(wrev (128, O) with row j = w[127-j] (zero rows for taps >= K),
+    wtail (8, O) holding taps 128.. in rows 0..)."""
+    K, O = w.shape
+    main = min(K, 128)
+    # tap t lives at row 127-t: taps 0..main-1 -> rows 127 down to 128-main
+    wrev = jnp.zeros((128, O), dtype)
+    wrev = wrev.at[128 - main:, :].set(
+        jnp.flip(w[:main, :], axis=0).astype(dtype))
+    # tail rows r = tap 135-r (matches rotate rows 120..127 read through
+    # the second aligned window); only taps < K are nonzero
+    wtail = jnp.zeros((8, O), dtype)
+    if K > 128:
+        wtail = wtail.at[135 - jnp.arange(128, K), :].set(
+            w[128:, :].astype(dtype))
+    return wrev, wtail
+
+
+def _padded_x(x, n_blk, ct, K):
+    L = x.shape[1]
+    # last block's DMA width is rounded up to a 128-lane multiple
+    need = (n_blk - 1) * ct + ((ct + K - 1 + 127) // 128) * 128
+    if need > L:
+        x = jnp.pad(x, ((0, 0), (0, need - L)))
+    return x
+
+
+def _mul_dtype(precision, x_dtype):
+    """"default" = bf16 multiply / f32 accumulate — the SAME arithmetic
+    XLA's DEFAULT matmul precision runs on TPU (one systolic pass);
+    "highest" keeps the operand dtype (f32 lowers to the 3-pass
+    decomposition — used by the CPU-side exactness tests)."""
+    return x_dtype if precision == "highest" else jnp.bfloat16
+
+
+@functools.partial(jax.jit, static_argnames=("pool", "interpret",
+                                             "precision"))
+def _conv_pool_fwd(x, w, pool: int, interpret: bool = False,
+                   precision: str = "default"):
+    N, L = x.shape
+    K, O = w.shape
+    if K > MAX_K:
+        raise ValueError(f"conv1d_pool supports K <= {MAX_K}, got {K}")
+    Lp = (L - K + 1) // pool
+    bt = _choose_block(Lp, pool)
+    ct = bt * pool
+    n_blk = Lp // bt
+    wrev, wtail = _w_split_rev(w, w.dtype)
+    x = _padded_x(x, n_blk, ct, K)
+    Np = ((N + WB - 1) // WB) * WB  # window-batched grid
+    if Np > N:
+        x = jnp.pad(x, ((0, Np - N), (0, 0)))
+    # (Np, 1, L): an integer index drops the batch dim in the DMA source —
+    # a length-1 sublane *slice* of a tiled HBM ref is rejected by Mosaic
+    x3 = x.reshape(Np, 1, x.shape[1])
+    # scratch: 128-aligned read window + ct + 128-tap reach
+    Wp = 128 + ct + 128
+
+    y, idx = pl.pallas_call(
+        functools.partial(_fwd_kernel, K=K, pool=pool, bt=bt,
+                          mul_dtype=_mul_dtype(precision, x.dtype)),
+        grid=(Np // WB, n_blk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((128, O), lambda n, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, O), lambda n, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((WB, bt, O), lambda n, b: (n, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WB, bt, O), lambda n, b: (n, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Lp, O), x.dtype),
+            jax.ShapeDtypeStruct((Np, Lp, O), jnp.int8),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WB, 1, Wp), x.dtype),
+            pltpu.SemaphoreType.DMA((WB,)),
+        ],
+        interpret=interpret,
+    )(x3, wrev, wtail)
+    return y[:N], idx[:N]
+
+
+@functools.partial(jax.jit, static_argnames=("K", "pool", "interpret",
+                                             "precision"))
+def _conv_pool_bwd(x, dy, idx, w, K: int, pool: int,
+                   interpret: bool = False, precision: str = "default"):
+    N, L = x.shape
+    _, Lp, O = dy.shape
+    bt = _choose_block(Lp, pool)
+    ct = bt * pool
+    n_blk = Lp // bt
+    xp = _padded_x(x, n_blk, ct, K)
+    Np = ((N + WB - 1) // WB) * WB
+    if Np > N:
+        # zero-padded windows contribute zero dW (their dy is zero-padded)
+        xp = jnp.pad(xp, ((0, Np - N), (0, 0)))
+        dy = jnp.pad(dy, ((0, Np - N), (0, 0), (0, 0)))
+        idx = jnp.pad(idx, ((0, Np - N), (0, 0), (0, 0)))
+    xp3 = xp.reshape(Np, 1, xp.shape[1])
+    main = min(K, 128)
+    w128 = jnp.zeros((128, O), jnp.float32).at[:main, :].set(
+        w[:main, :].astype(jnp.float32))
+    _, wtail = _w_split_rev(w, jnp.float32)
+    Wp = 128 + ct + 128
+    Wd = ct + 128  # dx stage width: ct + max tap reach
+
+    dwrev, dwtail, dx_stage = pl.pallas_call(
+        functools.partial(_bwd_kernel, K=K, pool=pool, bt=bt,
+                          mul_dtype=_mul_dtype(precision, x.dtype)),
+        grid=(Np // WB, n_blk),
+        in_specs=[
+            pl.BlockSpec((WB, bt, O), lambda n, b: (n, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WB, bt, O), lambda n, b: (n, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, O), lambda n, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, O), lambda n, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((128, O), lambda n, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, O), lambda n, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WB, n_blk, Wd), lambda n, b: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((128, O), jnp.float32),
+            jax.ShapeDtypeStruct((8, O), jnp.float32),
+            jax.ShapeDtypeStruct((Np, n_blk, Wd), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WB, 1, Wp), x.dtype),
+            pltpu.SemaphoreType.DMA((WB,)),
+        ],
+        interpret=interpret,
+    )(dy, idx, w128, wtail, xp3)
+    dx_stage = dx_stage[:N]
+
+    # dwrev row j = d w[127-j]; taps 0..main-1 occupy rows 127..128-main
+    dw = jnp.flip(dwrev[128 - main:, :], axis=0)
+    if K > 128:  # dwtail row r accumulated tap 135-r
+        dw = jnp.concatenate(
+            [dw, dwtail[135 - jnp.arange(128, K), :]], axis=0)
+    # fold the staged per-block windows (up-to-128-sample overlaps) into dX
+    dx = jnp.zeros((N, xp.shape[1] + 128), jnp.float32)
+    for b in range(n_blk):
+        dx = dx.at[:, b * ct: b * ct + Wd].add(dx_stage[:, b, :])
+    return dw.astype(x.dtype), dx[:, :L].astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv1d_pool(x, w, pool: int, interpret: bool = False,
+                precision: str = "default"):
+    """Fused valid 1-D conv (C=1) + max-pool: x (N, L), w (K, O) ->
+    (N, (L-K+1)//pool, O).  Gradients flow to both `w` and `x` (the input
+    may carry a learnable input-normalization upstream).  `interpret=True`
+    runs the kernels in interpreter mode off-TPU (tests); production
+    dispatch gates on the backend (models/cnn.py)."""
+    y, _ = _conv_pool_fwd(x, w, pool=pool, interpret=interpret,
+                          precision=precision)
+    return y
+
+
+def _conv_pool_vjp_fwd(x, w, pool, interpret, precision):
+    y, idx = _conv_pool_fwd(x, w, pool=pool, interpret=interpret,
+                            precision=precision)
+    # residuals carry w (not ints: an int in the residual pytree would be
+    # promoted to a traced leaf and poison the static K)
+    return y, (x, idx, w)
+
+
+def _conv_pool_vjp_bwd(pool, interpret, precision, res, dy):
+    x, idx, w = res
+    dw, dx = _conv_pool_bwd(x, dy, idx, w, K=w.shape[0], pool=pool,
+                            interpret=interpret, precision=precision)
+    return dx, dw
+
+
+conv1d_pool.defvjp(_conv_pool_vjp_fwd, _conv_pool_vjp_bwd)

@@ -260,12 +260,21 @@ class _ConvStack(nn.Module):
         if to_bool(o.get(f"{p}_use_batchnorm_inp", "False")):
             x = make_batchnorm(not train, name="bn_inp")(x)
 
-        # channels-last NHC conv-emitter lowering by default; "dot" =
-        # explicit im2col+dot_general, "xla" = the NCH lax.conv path —
-        # both kept for A/B benching (all build the same param tree)
-        impl = os.environ.get("TPUKALDI_CONV_IMPL", "nhc")
+        # conv lowering (TPUKALDI_CONV_IMPL):
+        #   auto (default) — channels-last; layer 0 (C=1) through the fused
+        #     Pallas conv+pool kernel on TPU (kernels/conv1d.py), deeper
+        #     layers through XLA's NHC conv emitter;
+        #   pallas — force the kernel (interpret mode off-TPU; tests);
+        #   nhc / dot / xla — pure-XLA paths kept for A/B benching.
+        # All paths build identical parameter trees, so checkpoints and
+        # torch imports are layout-independent.
+        impl = os.environ.get("TPUKALDI_CONV_IMPL", "auto")
         cl = impl != "xla"
         conv_cl = _conv1d_dot if impl == "dot" else _conv1d_nhc
+        on_tpu = jax.default_backend() == "tpu"
+        use_kernel = (
+            impl == "pallas" or (impl == "auto" and on_tpu)
+        )
         N = x.shape[0]
         x = x.reshape(N, self.inp_dim, 1) if cl else x.reshape(N, 1, self.inp_dim)
         current = self.inp_dim
@@ -285,7 +294,21 @@ class _ConvStack(nn.Module):
                     torch_linear_uniform(n_filt[i - 1] * len_filt[i]),
                     (n_filt[i],),
                 )
-            if cl:
+            if cl and i == 0 and x.shape[2] == 1 and use_kernel:
+                # fused Pallas conv+pool for the C=1 first layer; the
+                # per-channel bias commutes with max-pool so it adds after
+                from ..kernels.conv1d import conv1d_pool
+
+                w2d = kernel[:, 0, :].transpose(1, 0)  # (K, O)
+                interp = impl == "pallas" and not on_tpu
+                # on TPU: bf16-multiply "default" — the SAME arithmetic
+                # XLA's conv paths run there; interpret mode (CPU tests)
+                # keeps f32 so outputs match the f32 XLA paths exactly
+                x = conv1d_pool(x[:, :, 0], w2d, pool[i], interp,
+                                "highest" if interp else "default")
+                if bias is not None:
+                    x = x + bias[None, None, :]
+            elif cl:
                 x = conv_cl(x, kernel)
                 if bias is not None:
                     x = x + bias[None, None, :]

@@ -382,15 +382,14 @@ class ChunkRuntime:
         # per-batch dropout keys are fold_in(chunk_key, batch_index) — a
         # pure function of (task.seed, batch index), so K-step fusion is
         # bit-transparent (the fused path uses the same keys the unfused
-        # path would).  On TPU the keys use the hardware RngBitGenerator
-        # ("rbg") impl: threefry dropout masks cost ~100 VPU ops per random
-        # word and measurably slow dropout-heavy archs (SincNet/CNN raw
-        # stacks: ~1.8 ms/step at recipe shapes); rbg is counter-based and
-        # equally deterministic per (seed, batch index), it just draws a
-        # different (backend-native) stream.  Override with
-        # TPUKALDI_DROPOUT_PRNG=threefry2x32|rbg.
-        impl = os.environ.get("TPUKALDI_DROPOUT_PRNG") or (
-            "rbg" if jax.default_backend() == "tpu" else None)
+        # path would).  PRNG impl is threefry (JAX default): the "obvious"
+        # TPU win of hardware rbg keys was MEASURED to LOSE 2x on the
+        # dropout-heavy SincNet-raw step on this stack (13.5 ms/step rbg
+        # vs 6.1 threefry at recipe shapes) — XLA fuses the threefry mask
+        # into the surrounding elementwise work while the RngBitGenerator
+        # op breaks the fusion.  TPUKALDI_DROPOUT_PRNG=rbg remains as an
+        # opt-in A/B knob.
+        impl = os.environ.get("TPUKALDI_DROPOUT_PRNG") or None
         chunk_key = (
             jax.random.key(task.seed, impl=impl) if train else None)
         K = getattr(self, "_multistep_k", 1)
