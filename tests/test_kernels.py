@@ -283,3 +283,47 @@ def test_gru_fused_backward_matches_scan_backward(act):
             err_msg=name,
         )
     assert not _bwd_fits_vmem(16, 1200)
+
+
+@pytest.mark.parametrize("shape", [
+    (4, 3200, 129, 128, 3),   # TIMIT_SincNet_raw layer-0 shape (scaled N)
+    (2, 400, 129, 128, 3),    # the CPU-side parity-tree raw windows
+    (3, 500, 40, 64, 2),      # generic CNN layer-0, K < 128
+    (2, 260, 7, 16, 5),       # tiny kernel, non-divisible pool tail
+])
+def test_conv1d_pool_kernel_matches_xla(shape):
+    """Fused conv+max-pool kernel (kernels/conv1d.py) vs the XLA NHC conv
+    + torch-pool reference: outputs and BOTH gradients (dW through the
+    reversed-tap patch construction + tail pass; dX through the
+    anti-diagonal rotate) in interpreter mode at 'highest' precision."""
+    from tpukaldi.kernels.conv1d import conv1d_pool
+
+    N, L, K, O, pool = shape
+
+    def ref(x, w):
+        y = jax.lax.conv_general_dilated(
+            x[:, :, None], w[:, None, :], window_strides=(1,),
+            padding="VALID", dimension_numbers=("NHC", "HIO", "NHC"))
+        Lp = y.shape[1] // pool
+        return y[:, :Lp * pool, :].reshape(N, Lp, pool, O).max(axis=2)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, L)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, O)) * 0.1, jnp.float32)
+    y_k = conv1d_pool(x, w, pool, True, "highest")
+    y_r = ref(x, w)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_r),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_k(x, w):
+        return (conv1d_pool(x, w, pool, True, "highest") * 0.001).sum()
+
+    def loss_r(x, w):
+        return (ref(x, w) * 0.001).sum()
+
+    gxk, gwk = jax.grad(loss_k, argnums=(0, 1))(x, w)
+    gxr, gwr = jax.grad(loss_r, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gwk), np.asarray(gwr),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gxk), np.asarray(gxr),
+                               rtol=1e-4, atol=1e-5)
