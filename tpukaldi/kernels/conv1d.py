@@ -88,7 +88,11 @@ def _rolled(scratch, w):
     Read through the 128-aligned column window [128 : 128+ct) it is the
     patch matrix in REVERSED tap order (row j = xb[127-j : 127-j+ct]);
     through [256 : 256+ct) rows 120..127 cover taps 135..128.  `w` may be
-    traced (fori_loop index): the leading scratch dim is untiled."""
+    traced (fori_loop index): the leading scratch dim is untiled.
+    NB a bf16 rotate (casting before the roll to halve the vreg traffic)
+    is NOT available: Mosaic's tpu.dynamic_rotate is 32-bit-only
+    ("Rotate with non-32-bit data" — measured round 4), so the cast to
+    the multiply dtype must happen after the rotate."""
     Wp = scratch.shape[2]
     segb = jnp.broadcast_to(scratch[w, 0:1, :], (128, Wp))
     return pltpu.roll(segb, 1, axis=1, stride=1, stride_axis=0)
@@ -108,12 +112,12 @@ def _fwd_kernel(x_hbm, wrev_ref, wtail_ref, y_ref, idx_ref, scratch, sems,
     def body(w, _):
         # fori_loop (not a python unroll): an 8x-unrolled body blows
         # Mosaic's compile time past the driver budget
-        rolled = _rolled(scratch, w)
-        p2r = rolled[:, 128:128 + ct]  # (128, ct), row j = tap 127-j
         # bf16 multiply / f32 accumulate = XLA's DEFAULT matmul precision
         # on TPU (the same arithmetic the lax.conv paths run); f32
         # operands would lower to the 3-pass decomposition and triple the
         # MXU time
+        rolled = _rolled(scratch, w)
+        p2r = rolled[:, 128:128 + ct]  # (128, ct), row j = tap 127-j
         acc = jax.lax.dot_general(
             p2r.astype(mul_dtype), wrev_ref[:, :].astype(mul_dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
