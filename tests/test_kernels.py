@@ -327,3 +327,19 @@ def test_conv1d_pool_kernel_matches_xla(shape):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gxk), np.asarray(gxr),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_conv1d_pool_auto_dispatch_shape_gate():
+    """Auto dispatch must route only Mosaic-supported layer-0 shapes to
+    the fused kernel: O has to be a 128-lane multiple (the pool
+    row-merge reshape is rejected otherwise — caught by the round-4
+    TPU e2e drive at O=16) and K <= 129.  Recipe shapes (K=129, O=128)
+    stay on the kernel."""
+    from tpukaldi.kernels.conv1d import kernel_supported
+
+    assert kernel_supported(129, 128)       # TIMIT_SincNet_raw / CNN_raw
+    assert kernel_supported(40, 256)
+    assert not kernel_supported(129, 16)    # synth e2e layer-0
+    assert not kernel_supported(129, 60)
+    assert not kernel_supported(251, 128)   # K beyond the 1-pass+tail max
+    assert not kernel_supported(0, 128)

@@ -48,6 +48,18 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_K = 129  # one 128-tap MXU pass + one rank-1 epilogue tap
 
 
+def kernel_supported(K: int, n_filt: int) -> bool:
+    """Shape envelope the Mosaic lowering actually supports.  Beyond the
+    K <= 129 contract, the fused pool's row-merge reshape (ct, O) ->
+    (bt, pool*O) is a pure lane concat only when O is a 128-lane
+    multiple; Mosaic rejects it otherwise ("infer-vector-layout:
+    unsupported shape cast" at O=16 — caught by the round-4 e2e TPU
+    drive).  Both raw-waveform recipes run 128 layer-0 filters, so the
+    guard costs nothing at recipe shapes; everything else falls back to
+    the XLA conv emitter (models/cnn.py dispatch)."""
+    return 1 <= K <= MAX_K and n_filt % 128 == 0
+
+
 def _choose_block(lp: int, pool: int) -> int:
     """Pooled rows per grid block.  Multi-block grids need every block's
     conv-row span (bt*pool) to be a 128-lane multiple: the per-block HBM
@@ -182,11 +194,12 @@ def _bwd_kernel(dy_ref, idx_ref, w_ref, wtail_ref, x_hbm, dwrev_ref,
         dconv = jnp.where(sel == idx[:, None, :].astype(jnp.int32),
                           dy[:, None, :], 0.0)
         dconv = dconv.reshape(ct, dy.shape[-1])  # (ct, O)
+        dconv_m = dconv.astype(mul_dtype)
 
         rolled = _rolled(scratch, w)
         p2r = rolled[:, 128:128 + ct].astype(mul_dtype)
         dw_blk = jax.lax.dot_general(
-            p2r, dconv.astype(mul_dtype),
+            p2r, dconv_m,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (128, O), row j = d w[127-j]
@@ -194,7 +207,7 @@ def _bwd_kernel(dy_ref, idx_ref, w_ref, wtail_ref, x_hbm, dwrev_ref,
         if K > 128:  # tail taps: 8-row pass, rows r = taps 135-r
             p2b = rolled[120:128, 256:256 + ct].astype(mul_dtype)
             dwtail_ref[:, :] += jax.lax.dot_general(
-                p2b, dconv.astype(mul_dtype),
+                p2b, dconv_m,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -202,17 +215,23 @@ def _bwd_kernel(dy_ref, idx_ref, w_ref, wtail_ref, x_hbm, dwrev_ref,
         # dX: dx[s] = sum_k dconv[s-k, :] . w[k, :].  One MXU contraction
         # over O gives M (rows = taps 0..127); rolling row k RIGHT by k
         # (shift 0, stride 1 — within the vreg limit) turns the
-        # anti-diagonal sums into one sublane reduction; tap 128 adds a
-        # constant 128-lane rotation.
+        # anti-diagonal sums into a 128-row column sum, which runs as a
+        # second MXU pass (ones-row contraction) — the VPU sublane
+        # tree-reduce it replaces was the bwd kernel's hottest op
+        # (measured round 4); tap 128 adds a constant 128-lane rotation.
         mt = jax.lax.dot_general(
-            w_ref[:, :].astype(mul_dtype), dconv.astype(mul_dtype),
+            w_ref[:, :].astype(mul_dtype), dconv_m,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (128, ct), row = tap
         Wd = dxs_ref.shape[2]
         mt_p = jnp.pad(mt, ((0, 0), (0, Wd - ct)))
         rolled = pltpu.roll(mt_p, 0, axis=1, stride=1, stride_axis=0)
-        dx = jnp.sum(rolled, axis=0, keepdims=True)  # (1, Wd)
+        dx = jax.lax.dot_general(
+            jnp.ones((1, 128), mul_dtype), rolled.astype(mul_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, Wd) — column sums via the systolic array
         for k in range(128, K):  # wtail rows are tap 135-r
             mrow = jax.lax.dot_general(
                 wtail_ref[135 - k:136 - k, :].astype(jnp.float32), dconv,

@@ -272,8 +272,16 @@ class _ConvStack(nn.Module):
         cl = impl != "xla"
         conv_cl = _conv1d_dot if impl == "dot" else _conv1d_nhc
         on_tpu = jax.default_backend() == "tpu"
-        use_kernel = (
-            impl == "pallas" or (impl == "auto" and on_tpu)
+        from ..kernels.conv1d import kernel_supported
+
+        # shape gate for auto dispatch: the Mosaic lowering only supports
+        # lane-aligned layer-0 filter counts (kernel_supported); other
+        # configs fall back to the XLA NHC path.  Forced impl=pallas
+        # (interpret-mode tests) bypasses the gate — the interpreter has
+        # no Mosaic layout restrictions.
+        use_kernel = impl == "pallas" or (
+            impl == "auto" and on_tpu
+            and kernel_supported(len_filt[0], n_filt[0])
         )
         N = x.shape[0]
         x = x.reshape(N, self.inp_dim, 1) if cl else x.reshape(N, 1, self.inp_dim)
