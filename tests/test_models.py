@@ -2,6 +2,7 @@
 recurrent cell against a slow numpy implementation of the reference
 equations (eval mode, bn off)."""
 
+import math
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -309,3 +310,42 @@ def test_conv_impl_dot_matches_xla(cls_name, impl, monkeypatch):
                     jax.tree_util.tree_leaves(g_xla)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fast_dropout_semantics(monkeypatch):
+    """FastDropout (models/common.py): torch nn.Dropout semantics — at
+    train, elements are zeroed i.i.d. with prob `rate` and survivors are
+    scaled by 1/keep; identity at eval; deterministic per RNG key.  The
+    16-bit threshold masks must match that distribution (keep-prob
+    quantization <= 8e-6) for every split-axis geometry, including the
+    odd-all-axes bernoulli fallback and the TPUKALDI_DROPOUT_BITS=0 knob."""
+    from tpukaldi.models.common import FastDropout
+
+    rate = 0.15
+    for shape in [(64, 1024), (8, 1024, 128), (33, 33, 64), (7, 9, 11)]:
+        x = jnp.ones(shape, jnp.float32)
+        mod = FastDropout(rate=rate, deterministic=False)
+        y = mod.apply({}, x, rngs={"dropout": jax.random.key(5)})
+        ya = np.asarray(y)
+        # exactly {0, 1/keep}
+        assert np.all((ya == 0) | np.isclose(ya, 1.0 / (1.0 - rate), rtol=1e-6))
+        keep_frac = float((np.asarray(y) != 0).mean())
+        n = x.size
+        # 6-sigma band around the keep probability
+        sigma = math.sqrt(rate * (1 - rate) / n)
+        assert abs(keep_frac - (1.0 - rate)) < 6 * sigma + 1e-4, (shape, keep_frac)
+        # deterministic per key
+        y2 = mod.apply({}, x, rngs={"dropout": jax.random.key(5)})
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+    # eval identity, rate-0 identity
+    x = jnp.ones((16, 32), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(FastDropout(rate=rate, deterministic=True).apply({}, x)), 1.0)
+    np.testing.assert_array_equal(
+        np.asarray(FastDropout(rate=0.0, deterministic=False).apply(
+            {}, x, rngs={"dropout": jax.random.key(0)})), 1.0)
+    # A/B knob restores the flax path
+    monkeypatch.setenv("TPUKALDI_DROPOUT_BITS", "0")
+    y = np.asarray(FastDropout(rate=rate, deterministic=False).apply(
+        {}, x, rngs={"dropout": jax.random.key(1)}))
+    assert np.all((y == 0) | np.isclose(y, 1.0 / (1.0 - rate), rtol=1e-6))

@@ -31,6 +31,7 @@ from flax import linen as nn
 
 from ..config.schema import to_bool
 from .common import (
+    FastDropout,
     RefLayerNorm,
     act_fun,
     ref_laynorm,
@@ -342,7 +343,7 @@ class _ConvStack(nn.Module):
                     xt = make_batchnorm(not train, name=f"bn{i}")(xt)
                     x = xt.reshape(N, time, n_filt[i]).transpose(0, 2, 1)
             x = act_fun(acts[i])(x)
-            x = nn.Dropout(rate=drop[i], deterministic=not train)(x)
+            x = FastDropout(rate=drop[i], deterministic=not train)(x)
             current = time
         if cl:
             # the reference flattens (N, filt, time) — restore that order

@@ -128,6 +128,54 @@ def make_batchnorm(use_running_average: bool, name: str = None) -> nn.BatchNorm:
     )
 
 
+class FastDropout(nn.Module):
+    """Inverted dropout with 16-bit threshold masks: one threefry word
+    yields TWO mask elements (u32 split into u16 halves, assigned to the
+    two halves of the largest even axis so the random-bits tensor keeps
+    full vreg lane occupancy).  This halves the PRNG cost, which
+    dominates big-activation dropout on TPU — XLA runs threefry once in
+    the forward fusion and REMATERIALIZES it in the backward, so at the
+    TIMIT_SincNet_raw layer-0 activation (16.7M elements) mask
+    generation alone was ~0.6 ms/step of VPU work (round-4 device
+    trace).  The mask distribution is unchanged (i.i.d. Bernoulli per
+    element); keep-probability is quantized to 1/65536 (|bias| <= 8e-6).
+    TPUKALDI_DROPOUT_BITS=0 restores flax nn.Dropout (A/B knob); tensors
+    with no even axis fall back too.  Replaces nn.Dropout at the zoo's
+    per-element dropout sites (reference semantics: torch nn.Dropout,
+    identity at eval — neural_networks.py:136-141)."""
+
+    rate: float
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, x):
+        if self.deterministic or self.rate == 0.0:
+            return x
+        import os
+
+        keep = 1.0 - self.rate
+        # largest even axis, preferring trailing dims (better layouts)
+        axis = None
+        best = 1
+        for a in range(x.ndim - 1, -1, -1):
+            if x.shape[a] % 2 == 0 and x.shape[a] > best:
+                axis, best = a, x.shape[a]
+        key = self.make_rng("dropout")
+        if axis is None or os.environ.get("TPUKALDI_DROPOUT_BITS", "1") == "0":
+            mask = jax.random.bernoulli(key, keep, x.shape)
+        else:
+            half_shape = tuple(
+                d // 2 if a == axis else d for a, d in enumerate(x.shape)
+            )
+            bits = jax.random.bits(key, half_shape, jnp.uint32)
+            t = jnp.uint32(min(int(round(keep * 65536.0)), 65535))
+            mask = jnp.concatenate(
+                [(bits & jnp.uint32(0xFFFF)) < t, (bits >> 16) < t],
+                axis=axis,
+            )
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 def recurrent_drop_mask(module: nn.Module, train: bool, shape, p: float):
     """The recurrent zoo's dropout convention (neural_networks.py:421-425):
     one Bernoulli(1-p) mask reused across time at train, the scalar (1-p)

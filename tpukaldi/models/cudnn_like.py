@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config.schema import to_bool
-from .common import orthogonal_init, torch_linear_uniform
+from .common import FastDropout, orthogonal_init, torch_linear_uniform
 from .recurrent import _reverse_time
 
 
@@ -107,7 +107,7 @@ class _CudnnBase(nn.Module):
             else:
                 h = h[:, 0]
             if layer < n_layers - 1:
-                h = nn.Dropout(rate=dropout, deterministic=not train)(h)
+                h = FastDropout(rate=dropout, deterministic=not train)(h)
             x = h
         return x
 

@@ -15,6 +15,7 @@ from flax import linen as nn
 
 from ..config.schema import to_bool
 from .common import (
+    FastDropout,
     RefLayerNorm,
     act_fun,
     bool_list,
@@ -67,6 +68,6 @@ class MLP(nn.Module):
                 x = make_batchnorm(not train, name=f"bn{i}")(x)
             x = act_fun(acts[i])(x)
             # torch nn.Dropout (inverted dropout), identity at eval
-            x = nn.Dropout(rate=drop[i], deterministic=not train)(x)
+            x = FastDropout(rate=drop[i], deterministic=not train)(x)
             current = width
         return x

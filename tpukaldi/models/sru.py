@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config.schema import to_bool
-from .common import RefLayerNorm, torch_linear_uniform
+from .common import FastDropout, RefLayerNorm, torch_linear_uniform
 from .recurrent import _reverse_time
 
 
@@ -79,7 +79,7 @@ class SRU(nn.Module):
             T, B, D = x.shape
             if layer_norm:
                 x = RefLayerNorm(D, name=f"ln{layer}")(x)
-            x = nn.Dropout(rate=rnn_dropout, deterministic=not train)(x)
+            x = FastDropout(rate=rnn_dropout, deterministic=not train)(x)
             if bidir:
                 x = jnp.concatenate([x, _reverse_time(x, lengths)], axis=1)
             Bp = x.shape[1]
@@ -129,6 +129,6 @@ class SRU(nn.Module):
                 h_f = h[:, : Bp // 2]
                 h_b = _reverse_time(h[:, Bp // 2 :], lengths)
                 h = jnp.concatenate([h_f, h_b], axis=2)
-            h = nn.Dropout(rate=dropout, deterministic=not train)(h)
+            h = FastDropout(rate=dropout, deterministic=not train)(h)
             x = h
         return x
