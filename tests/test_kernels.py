@@ -343,3 +343,64 @@ def test_conv1d_pool_auto_dispatch_shape_gate():
     assert not kernel_supported(129, 60)
     assert not kernel_supported(251, 128)   # K beyond the 1-pass+tail max
     assert not kernel_supported(0, 128)
+
+
+def _composed_conv_pool_ln(x, w, bias, gt, bt, pool, eps, relu):
+    N, L = x.shape
+    K, O = w.shape
+    y = jax.lax.conv_general_dilated(
+        x[:, :, None], w[:, None, :], (1,), "VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    M = (L - K + 1) // pool
+    y = y[:, : M * pool, :].reshape(N, M, pool, O).max(axis=2)
+    y = y + bias[None, None, :]
+    mean = jnp.mean(y, axis=1, keepdims=True)
+    var = jnp.sum((y - mean) ** 2, axis=1, keepdims=True) / max(M - 1, 1)
+    z = gt[None] * (y - mean) / (jnp.sqrt(var) + eps) + bt[None]
+    return jnp.maximum(z, 0.0) if relu else z
+
+
+@pytest.mark.parametrize("shape", [
+    (5, 640, 129, 128, 2),   # K=129 tail-tap geometry (recipe K)
+    (3, 423, 40, 128, 3),    # K < 128, odd batch (grid padding windows)
+])
+@pytest.mark.parametrize("relu", [True, False])
+def test_conv1d_pool_ln_act_matches_composed(shape, relu):
+    """Fused layer-0 chain (kernels/conv1d.py conv1d_pool_ln_act):
+    conv+pool+bias+time-moment laynorm (reference unbiased-std +
+    eps-on-std quirk)+act vs the composed XLA reference — outputs and
+    ALL five gradients (dX through the laynorm backward and the
+    anti-diagonal rotate; dW; dbias ~0 by mean-cancellation; dgamma;
+    dbeta), interpreter mode at 'highest' precision."""
+    from tpukaldi.kernels.conv1d import (conv1d_pool_ln_act,
+                                         fused_ln_supported)
+
+    N, L, K, O, pool = shape
+    M = (L - K + 1) // pool
+    assert fused_ln_supported(K, O, L, pool)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, L)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, O)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((O,)) * 0.1, jnp.float32)
+    gt = jnp.asarray(1.0 + 0.2 * rng.standard_normal((M, O)), jnp.float32)
+    bt = jnp.asarray(0.1 * rng.standard_normal((M, O)), jnp.float32)
+    proj = jnp.asarray(rng.standard_normal((N, M, O)), jnp.float32)
+
+    out_k = conv1d_pool_ln_act(x, w, bias, gt, bt, pool, 1e-6, relu,
+                               True, "highest")
+    out_r = _composed_conv_pool_ln(x, w, bias, gt, bt, pool, 1e-6, relu)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss_k(*a):
+        return (conv1d_pool_ln_act(*a, pool, 1e-6, relu, True,
+                                   "highest") * proj).sum()
+
+    def loss_r(*a):
+        return (_composed_conv_pool_ln(*a, pool, 1e-6, relu) * proj).sum()
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(x, w, bias, gt, bt)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(x, w, bias, gt, bt)
+    for name, a, b in zip("x w bias gt bt".split(), gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)

@@ -349,3 +349,52 @@ def test_fast_dropout_semantics(monkeypatch):
     y = np.asarray(FastDropout(rate=rate, deterministic=False).apply(
         {}, x, rngs={"dropout": jax.random.key(1)}))
     assert np.all((y == 0) | np.isclose(y, 1.0 / (1.0 - rate), rtol=1e-6))
+
+
+def test_sincnet_fused_ln0_path_matches_xla(monkeypatch):
+    """The fused conv+pool+bias+laynorm+relu layer-0 dispatch
+    (models/cnn.py fuse_ln0, engaged at recipe-like geometry: 128
+    filters, K=129, laynorm-no-batchnorm, relu) must agree with the
+    pure-XLA lowering on outputs and parameter gradients with an
+    identical param tree — the dispatch is a lowering choice, never a
+    semantic one."""
+    from tpukaldi.models import SincNet
+
+    opts = {
+        "sinc_n_filt": "128,4", "sinc_len_filt": "129,5",
+        "sinc_max_pool_len": "3,2", "sinc_sample_rate": "16000",
+        "sinc_min_low_hz": "50", "sinc_min_band_hz": "50",
+        "sinc_use_laynorm_inp": "True", "sinc_use_batchnorm_inp": "False",
+        "sinc_use_laynorm": "True,True", "sinc_use_batchnorm": "False,False",
+        "sinc_act": "relu,relu", "sinc_drop": "0.0,0.0",
+    }
+    model = SincNet(options=opts, inp_dim=512)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((5, 512)), jnp.float32)
+
+    outs, grads, trees = {}, {}, {}
+    for impl in ("pallas", "xla"):
+        monkeypatch.setenv("TPUKALDI_CONV_IMPL", impl)
+        v = model.init({"params": jax.random.key(0),
+                        "dropout": jax.random.key(1)}, x, train=True)
+        trees[impl] = jax.tree_util.tree_structure(v)
+        outs[impl] = model.apply(v, x, train=False)
+
+        def loss(p, v=v):
+            return jnp.sum(model.apply({**v, "params": p}, x,
+                                       train=False) ** 2)
+
+        grads[impl] = jax.grad(loss)(v["params"])
+
+    assert trees["pallas"] == trees["xla"]
+    np.testing.assert_allclose(np.asarray(outs["pallas"]),
+                               np.asarray(outs["xla"]),
+                               rtol=1e-4, atol=1e-5)
+    key = lambda t: str(t[0])
+    for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(grads["pallas"]),
+                   key=key),
+            sorted(jax.tree_util.tree_leaves_with_path(grads["xla"]),
+                   key=key)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=str(pa))

@@ -437,3 +437,366 @@ def _conv_pool_vjp_bwd(pool, interpret, precision, res, dy):
 
 
 conv1d_pool.defvjp(_conv_pool_vjp_fwd, _conv_pool_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused conv + max-pool + bias + (filt,time) laynorm + act for layer 0
+# ---------------------------------------------------------------------------
+#
+# The raw-waveform recipes follow layer 0's conv+pool with a per-layer
+# LayerNorm over TIME per (window, filter) and a relu
+# (neural_networks.py:1510-1512 via models/cnn.py _CNNLayerNorm) — on the
+# round-4 device trace the XLA elementwise passes around the 64 MB pooled
+# activation (laynorm fwd + bwd reductions, relu) were as expensive as
+# the conv kernel itself.  The moments are WINDOW-LOCAL (mean/unbiased-std
+# over the Lp pooled rows per filter), so one whole-window program can run
+# the entire chain in VMEM:
+#
+# - fwd: conv (the same reversed-tap rotate + MXU passes as conv1d_pool)
+#   -> pool+argmax -> +bias -> moments (f32 ones-row dots — the 3-pass
+#   f32 MXU decomposition keeps laynorm statistics at f32 precision) ->
+#   normalize with the reference's (std + eps) quirk -> gamma/beta (full
+#   (time, filt) affine map resident in VMEM) -> act.  Saves the separate
+#   XLA laynorm/relu round trips over the 64 MB activation.
+# - bwd: recomputes the pooled pre-norm activation from x + the saved
+#   argmax (cheaper than a 64 MB residual round trip), runs the laynorm
+#   backward per window with two f32 ones-row dots (sum(dz*g),
+#   sum(dz*g*c)), then the same pool-scatter + dW/dX passes as
+#   _bwd_kernel; accumulates dgamma/dbeta across the sequential grid like
+#   dW.  `s` is floored at 1e-30 so zero-variance windows (grid padding)
+#   contribute exact zeros instead of NaN.
+#
+# Bias note: the laynorm mean makes the conv bias mathematically inert
+# (it cancels in x - mean(x)); dbias is still emitted honestly as
+# sum_t(dy) — the same ~0 the composed autodiff path produces.
+
+
+def fused_ln_supported(K: int, n_filt: int, L: int, pool: int) -> bool:
+    """Geometry the fused whole-window lowering supports: conv1d_pool's
+    envelope plus a 128-lane-aligned conv extent (one block per window)
+    and a sublane-aligned pooled length."""
+    if not kernel_supported(K, n_filt):
+        return False
+    Lp = (L - K + 1) // pool
+    return Lp >= 8 and Lp % 8 == 0 and (Lp * pool) % 128 == 0
+
+
+def _window_conv(rolled, wrev_ref, wtail_ref, ct, K, mul_dtype):
+    """(ct, O) f32 conv block from a window's rotated patch matrix."""
+    acc = jax.lax.dot_general(
+        rolled[:, 128:128 + ct].astype(mul_dtype),
+        wrev_ref[:, :].astype(mul_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if K > 128:
+        acc = acc + jax.lax.dot_general(
+            rolled[120:128, 256:256 + ct].astype(mul_dtype),
+            wtail_ref[:, :].astype(mul_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
+def _colsum_f32(x):
+    """(1, cols) column sums via an f32 ones-row dot (3-pass MXU: keeps
+    laynorm moments at f32 precision, unlike the bf16 data passes)."""
+    return jax.lax.dot_general(
+        jnp.ones((1, x.shape[0]), jnp.float32), x,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fused_fwd_kernel(x_hbm, wrev_ref, wtail_ref, bias_ref, gt_ref, bt_ref,
+                      out_ref, idx_ref, stats_ref, scratch, sems,
+                      *, K, pool, M, eps, relu, mul_dtype):
+    ct = M * pool
+    n = pl.program_id(0)
+    _load_windows(x_hbm, scratch, sems, n, 0, ct + K - 1)
+
+    def body(w, _):
+        rolled = _rolled(scratch, w)
+        acc = _window_conv(rolled, wrev_ref, wtail_ref, ct, K, mul_dtype)
+        O = acc.shape[-1]
+        g = acc.reshape(M, pool * O)
+        parts = [g[:, i * O:(i + 1) * O] for i in range(pool)]
+        m = parts[0]
+        for pt in parts[1:]:
+            m = jnp.maximum(m, pt)
+        idx = jnp.full((M, O), pool - 1, jnp.int32)
+        for i in range(pool - 2, -1, -1):
+            idx = jnp.where(parts[i] == m, jnp.int32(i), idx)
+        y = m + bias_ref[0:1, :]
+        mu = _colsum_f32(y) / M  # (1, O)
+        c = y - mu
+        s = jnp.sqrt(_colsum_f32(c * c) / max(M - 1, 1))  # (1, O)
+        r = 1.0 / (s + eps)
+        z = (c * r) * gt_ref[:, :] + bt_ref[:, :]
+        if relu:
+            z = jnp.maximum(z, 0.0)
+        out_ref[w, :, :] = z.astype(out_ref.dtype)
+        idx_ref[w, :, :] = idx.astype(jnp.int8)
+        stats_ref[w, 0:1, :] = mu
+        stats_ref[w, 1:2, :] = s
+        return 0
+
+    jax.lax.fori_loop(0, WB, body, 0)
+
+
+def _fused_bwd_kernel(dz_ref, idx_ref, stats_ref, w_ref, wrev_ref,
+                      wtail_ref, bias_ref, gt_ref, bt_ref, x_hbm,
+                      dwrev_ref, dwtail_ref, dg_ref, db_ref, dbias_ref,
+                      dxs_ref, scratch, sems, *, K, pool, M, eps, relu,
+                      mul_dtype):
+    ct = M * pool
+    n = pl.program_id(0)
+    _load_windows(x_hbm, scratch, sems, n, 0, ct + K - 1)
+
+    @pl.when(n == 0)
+    def _():
+        dwrev_ref[:, :] = jnp.zeros_like(dwrev_ref)
+        dwtail_ref[:, :] = jnp.zeros_like(dwtail_ref)
+        dg_ref[:, :] = jnp.zeros_like(dg_ref)
+        db_ref[:, :] = jnp.zeros_like(db_ref)
+        dbias_ref[:, :] = jnp.zeros_like(dbias_ref)
+
+    def body(w, _):
+        rolled = _rolled(scratch, w)
+        acc = _window_conv(rolled, wrev_ref, wtail_ref, ct, K, mul_dtype)
+        O = acc.shape[-1]
+        idx = idx_ref[w, :, :].astype(jnp.int32)  # (M, O)
+        # pooled pre-norm activation, recomputed through the saved argmax
+        g = acc.reshape(M, pool * O)
+        y = jnp.zeros((M, O), jnp.float32)
+        for i in range(pool):
+            y = jnp.where(idx == i, g[:, i * O:(i + 1) * O], y)
+        y = y + bias_ref[0:1, :]
+        mu = stats_ref[w, 0:1, :]
+        s = stats_ref[w, 1:2, :]
+        r = 1.0 / (s + eps)
+        c = y - mu
+        xhat = c * r
+        dz = dz_ref[w, :, :].astype(jnp.float32)
+        if relu:
+            z = xhat * gt_ref[:, :] + bt_ref[:, :]
+            dz = jnp.where(z > 0.0, dz, 0.0)
+        dg_ref[:, :] += dz * xhat
+        db_ref[:, :] += dz
+        dzg = dz * gt_ref[:, :]
+        A = _colsum_f32(dzg)  # (1, O)
+        B = _colsum_f32(dzg * c)
+        # d laynorm: dy = r*dzg - c * (r^2 B)/((M-1) s) - (r/M) A
+        # (sum_t c = 0 exactly; s floored so padded zero-variance windows
+        # contribute zeros, not NaN)
+        fac = (B * r * r) / (max(M - 1, 1) * jnp.maximum(s, 1e-30))
+        dy = r * dzg - c * fac - (r / M) * A
+        dbias_ref[0:1, :] += _colsum_f32(dy)
+
+        # pool scatter + dW + dX — same passes as _bwd_kernel
+        sel = jax.lax.broadcasted_iota(jnp.int32, (M, pool, O), 1)
+        dconv = jnp.where(sel == idx[:, None, :], dy[:, None, :], 0.0)
+        dconv = dconv.reshape(ct, O)
+        dconv_m = dconv.astype(mul_dtype)
+        p2r = rolled[:, 128:128 + ct].astype(mul_dtype)
+        dwrev_ref[:, :] += jax.lax.dot_general(
+            p2r, dconv_m, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if K > 128:
+            p2b = rolled[120:128, 256:256 + ct].astype(mul_dtype)
+            dwtail_ref[:, :] += jax.lax.dot_general(
+                p2b, dconv_m, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        mt = jax.lax.dot_general(
+            w_ref[:, :].astype(mul_dtype), dconv_m,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (128, ct)
+        Wd = dxs_ref.shape[1]
+        mt_p = jnp.pad(mt, ((0, 0), (0, Wd - ct)))
+        rolledm = pltpu.roll(mt_p, 0, axis=1, stride=1, stride_axis=0)
+        dx = jax.lax.dot_general(
+            jnp.ones((1, 128), mul_dtype), rolledm.astype(mul_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (1, Wd)
+        for k in range(128, K):
+            mrow = jax.lax.dot_general(
+                wtail_ref[135 - k:136 - k, :].astype(jnp.float32), dconv,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            mrow_p = jnp.pad(mrow, ((0, 0), (0, Wd - ct)))
+            dx = dx + pltpu.roll(mrow_p, k, axis=1)
+        dxs_ref[pl.ds(w, 1), :] = dx.astype(dxs_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, WB, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("pool", "eps", "relu",
+                                             "interpret", "precision"))
+def _fused_fwd(x, w, bias, gt, bt, pool, eps, relu, interpret, precision):
+    N, L = x.shape
+    K, O = w.shape
+    M = (L - K + 1) // pool
+    ct = M * pool
+    wrev, wtail = _w_split_rev(w, w.dtype)
+    x = _padded_x(x, 1, ct, K)
+    Np = ((N + WB - 1) // WB) * WB
+    if Np > N:
+        x = jnp.pad(x, ((0, Np - N), (0, 0)))
+    x3 = x.reshape(Np, 1, x.shape[1])
+    bias8 = jnp.zeros((8, O), jnp.float32).at[0, :].set(
+        bias.astype(jnp.float32))
+    Wp = 128 + ct + 128
+
+    out, idx, stats = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, K=K, pool=pool, M=M, eps=eps,
+                          relu=relu,
+                          mul_dtype=_mul_dtype(precision, x.dtype)),
+        grid=(Np // WB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((128, O), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((WB, M, O), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WB, M, O), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WB, 8, O), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, M, O), x.dtype),
+            jax.ShapeDtypeStruct((Np, M, O), jnp.int8),
+            jax.ShapeDtypeStruct((Np, 8, O), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WB, 1, Wp), x.dtype),
+            pltpu.SemaphoreType.DMA((WB,)),
+        ],
+        interpret=interpret,
+    )(x3, wrev, wtail, bias8, gt, bt)
+    return out[:N], idx[:N], stats[:N]
+
+
+@functools.partial(jax.jit, static_argnames=("K", "pool", "eps", "relu",
+                                             "interpret", "precision"))
+def _fused_bwd(x, dz, idx, stats, w, bias, gt, bt, K, pool, eps, relu,
+               interpret, precision):
+    N, L = x.shape
+    _, M, O = dz.shape
+    ct = M * pool
+    xp = _padded_x(x, 1, ct, K)
+    Np = ((N + WB - 1) // WB) * WB
+    if Np > N:
+        xp = jnp.pad(xp, ((0, Np - N), (0, 0)))
+        dz = jnp.pad(dz, ((0, Np - N), (0, 0), (0, 0)))
+        idx = jnp.pad(idx, ((0, Np - N), (0, 0), (0, 0)))
+        stats = jnp.pad(stats, ((0, Np - N), (0, 0), (0, 0)))
+    xp3 = xp.reshape(Np, 1, xp.shape[1])
+    main = min(K, 128)
+    w128 = jnp.zeros((128, O), jnp.float32).at[:main, :].set(
+        w[:main, :].astype(jnp.float32))
+    wrev, wtail = _w_split_rev(w, jnp.float32)
+    bias8 = jnp.zeros((8, O), jnp.float32).at[0, :].set(
+        bias.astype(jnp.float32))
+    Wp = 128 + ct + 128
+    Wd = ct + 128
+
+    dwrev, dwtail, dg, db, dbias8, dxs = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, K=K, pool=pool, M=M, eps=eps,
+                          relu=relu,
+                          mul_dtype=_mul_dtype(precision, x.dtype)),
+        grid=(Np // WB,),
+        in_specs=[
+            pl.BlockSpec((WB, M, O), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WB, M, O), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WB, 8, O), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, O), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, O), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((128, O), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((WB, Wd), lambda n: (n, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((128, O), jnp.float32),
+            jax.ShapeDtypeStruct((8, O), jnp.float32),
+            jax.ShapeDtypeStruct((M, O), jnp.float32),
+            jax.ShapeDtypeStruct((M, O), jnp.float32),
+            jax.ShapeDtypeStruct((8, O), jnp.float32),
+            jax.ShapeDtypeStruct((Np, Wd), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WB, 1, Wp), x.dtype),
+            pltpu.SemaphoreType.DMA((WB,)),
+        ],
+        interpret=interpret,
+    )(dz, idx, stats, w128, wrev, wtail, bias8, gt, bt, xp3)
+    dxs = dxs[:N]
+
+    main = min(K, 128)
+    dw = jnp.flip(dwrev[128 - main:, :], axis=0)
+    if K > 128:
+        dw = jnp.concatenate(
+            [dw, dwtail[135 - jnp.arange(128, K), :]], axis=0)
+    dx = jnp.zeros((N, xp.shape[1] + 128), jnp.float32)
+    dx = dx.at[:, :Wd].add(dxs)
+    return (dx[:, :L].astype(x.dtype), dw.astype(x.dtype),
+            dbias8[0, :].astype(bias.dtype), dg.astype(gt.dtype),
+            db.astype(bt.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def conv1d_pool_ln_act(x, w, bias, gt, bt, pool: int, eps: float,
+                       relu: bool, interpret: bool = False,
+                       precision: str = "default"):
+    """Fused layer-0 chain: valid C=1 conv (x (N, L), w (K, O)) ->
+    max-pool(pool) -> +bias (O,) -> laynorm over pooled time per filter
+    (reference unbiased-std + eps-on-std quirk; affine gt/bt are the
+    (time, filt)-transposed full maps) -> optional relu.  Returns
+    (N, M, O) with M = (L-K+1)//pool.  Gradients flow to x, w, bias, gt,
+    bt.  Geometry must satisfy fused_ln_supported."""
+    out, _, _ = _fused_fwd(x, w, bias, gt, bt, pool, eps, relu, interpret,
+                           precision)
+    return out
+
+
+def _fused_vjp_fwd(x, w, bias, gt, bt, pool, eps, relu, interpret,
+                   precision):
+    out, idx, stats = _fused_fwd(x, w, bias, gt, bt, pool, eps, relu,
+                                 interpret, precision)
+    return out, (x, w, bias, gt, bt, idx, stats)
+
+
+def _fused_vjp_bwd(pool, eps, relu, interpret, precision, res, dz):
+    x, w, bias, gt, bt, idx, stats = res
+    dx, dw, dbias, dg, db = _fused_bwd(
+        x, dz, idx, stats, w, bias, gt, bt, K=w.shape[0], pool=pool,
+        eps=eps, relu=relu, interpret=interpret, precision=precision)
+    return dx, dw, dbias, dg, db
+
+
+conv1d_pool_ln_act.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)

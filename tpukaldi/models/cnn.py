@@ -126,17 +126,26 @@ class _CNNLayerNorm(nn.Module):
     """Reference LayerNorm instantiated with a (filt, time) shape
     (neural_networks.py:1510-1512): normalizes over the reference's LAST
     axis (time), affine params over the full (filt, time) map.  Accepts
-    either layout; the param tree is layout-independent."""
+    either layout; the param tree is layout-independent.  setup-style so
+    the fused layer-0 kernel path can read the affine map via affine()
+    without running the module (identical param names/shapes either way)."""
 
     n_filt: int
     n_time: int
     eps: float = 1e-6
     channels_last: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.gamma = self.param(
+            "gamma", nn.initializers.ones, (self.n_filt, self.n_time))
+        self.beta = self.param(
+            "beta", nn.initializers.zeros, (self.n_filt, self.n_time))
+
+    def affine(self):
+        return self.gamma, self.beta
+
     def __call__(self, x):  # x (N, filt, time) or (N, time, filt)
-        gamma = self.param("gamma", nn.initializers.ones, (self.n_filt, self.n_time))
-        beta = self.param("beta", nn.initializers.zeros, (self.n_filt, self.n_time))
+        gamma, beta = self.gamma, self.beta
         if not self.channels_last:
             return ref_laynorm(x, gamma, beta, self.eps)
         # channels-last: time is axis 1; same unbiased-std formula as
@@ -287,6 +296,7 @@ class _ConvStack(nn.Module):
         N = x.shape[0]
         x = x.reshape(N, self.inp_dim, 1) if cl else x.reshape(N, 1, self.inp_dim)
         current = self.inp_dim
+        fused0 = False
         for i in range(len(n_filt)):
             if i == 0:
                 kernel, bias = self.first_layer_kernel(
@@ -303,7 +313,37 @@ class _ConvStack(nn.Module):
                     torch_linear_uniform(n_filt[i - 1] * len_filt[i]),
                     (n_filt[i],),
                 )
+            fuse_ln0 = False
             if cl and i == 0 and x.shape[2] == 1 and use_kernel:
+                from ..kernels.conv1d import fused_ln_supported
+
+                # whole-chain fusion when layer 0 is the recipe shape:
+                # conv+pool+bias+(time-moment laynorm)+act in one kernel
+                # (the XLA laynorm/relu passes over the pooled activation
+                # cost as much as the conv itself — round-4 device trace)
+                fuse_ln0 = (
+                    use_ln[0] and not use_bn[0]
+                    and acts[0] in ("relu", "linear")
+                    and fused_ln_supported(len_filt[0], n_filt[0],
+                                           self.inp_dim, pool[0])
+                )
+            if fuse_ln0:
+                from ..kernels.conv1d import conv1d_pool_ln_act
+
+                w2d = kernel[:, 0, :].transpose(1, 0)  # (K, O)
+                interp = impl == "pallas" and not on_tpu
+                t0 = int((current - len_filt[0] + 1) / pool[0])
+                ln = _CNNLayerNorm(n_filt[0], t0, channels_last=True,
+                                   name="ln0")
+                gamma, beta = ln.affine()
+                b0 = (bias if bias is not None
+                      else jnp.zeros((n_filt[0],), x.dtype))
+                x = conv1d_pool_ln_act(
+                    x[:, :, 0], w2d, b0, gamma.T, beta.T, pool[0], ln.eps,
+                    acts[0] == "relu", interp,
+                    "highest" if interp else "default")
+                fused0 = True
+            elif cl and i == 0 and x.shape[2] == 1 and use_kernel:
                 # fused Pallas conv+pool for the C=1 first layer; the
                 # per-channel bias commutes with max-pool so it adds after
                 from ..kernels.conv1d import conv1d_pool
@@ -328,7 +368,7 @@ class _ConvStack(nn.Module):
                     x = x + bias[None, :, None]
                 x = _max_pool1d(x, pool[i])
             time = int((current - len_filt[i] + 1) / pool[i])
-            if use_ln[i]:
+            if use_ln[i] and not (i == 0 and fused0):
                 x = _CNNLayerNorm(n_filt[i], time, channels_last=cl,
                                   name=f"ln{i}")(x)
             if use_bn[i]:
@@ -342,7 +382,8 @@ class _ConvStack(nn.Module):
                     xt = x.transpose(0, 2, 1).reshape(-1, n_filt[i])
                     xt = make_batchnorm(not train, name=f"bn{i}")(xt)
                     x = xt.reshape(N, time, n_filt[i]).transpose(0, 2, 1)
-            x = act_fun(acts[i])(x)
+            if not (i == 0 and fused0):
+                x = act_fun(acts[i])(x)
             x = FastDropout(rate=drop[i], deterministic=not train)(x)
             current = time
         if cl:
