@@ -71,27 +71,33 @@ def _choose_block(lp: int, pool: int) -> int:
 
 
 WB = 8  # windows per program: amortizes DMA latency + grid-step overhead
+WB_FUSED_BWD = 8  # fused laynorm backward windows/program (fori-carried
+# dgamma/dbeta accumulators exceeded the 16 MB VMEM stack at 8 and
+# measured neutral at 4, so accumulation stays on the refs)
 # (measured: at 1 window/program the per-program overhead alone was
 # ~6 us x 256 programs = 1.5 ms — as much as the whole conv math)
 
 
 def _load_windows(x_hbm, scratch, sems, n, start, width):
-    """DMA x[n*WB + w, start:start+width] HBM->VMEM scratch row w for all
-    WB windows CONCURRENTLY (start all, then wait all — one latency).
-    Zero the scratch tail so taps past the window read finite values
-    (they meet zero weights, and 0 * garbage could be NaN)."""
+    """DMA x[n*nw + w, start:start+width] HBM->VMEM scratch row w for all
+    nw windows CONCURRENTLY (start all, then wait all — one latency),
+    where nw = scratch rows (WB for the conv kernels, WB_FUSED_BWD for
+    the fused laynorm backward).  Zero the scratch tail so taps past the
+    window read finite values (they meet zero weights, and 0 * garbage
+    could be NaN)."""
+    nw = scratch.shape[0]
     width = ((width + 127) // 128) * 128  # Mosaic: 128-aligned DMA width
     dmas = []
-    for w in range(WB):
+    for w in range(nw):
         dma = pltpu.make_async_copy(
-            x_hbm.at[n * WB + w, :, pl.ds(start, width)],
+            x_hbm.at[n * nw + w, :, pl.ds(start, width)],
             scratch.at[w, :, :width], sems.at[w])
         dma.start()
         dmas.append(dma)
     for dma in dmas:
         dma.wait()
     scratch[:, :, width:] = jnp.zeros(
-        (WB, 1, scratch.shape[2] - width), scratch.dtype)
+        (nw, 1, scratch.shape[2] - width), scratch.dtype)
 
 
 def _rolled(scratch, w):
@@ -467,8 +473,9 @@ conv1d_pool.defvjp(_conv_pool_vjp_fwd, _conv_pool_vjp_bwd)
 #   contribute exact zeros instead of NaN.
 #
 # Bias note: the laynorm mean makes the conv bias mathematically inert
-# (it cancels in x - mean(x)); dbias is still emitted honestly as
-# sum_t(dy) — the same ~0 the composed autodiff path produces.
+# (it cancels in x - mean(x)), so its Jacobian is exactly zero; dbias is
+# emitted as that analytic zero (the composed autodiff path produces
+# ~1e-7 fp noise for the same quantity).
 
 
 def fused_ln_supported(K: int, n_filt: int, L: int, pool: int) -> bool:
@@ -560,6 +567,10 @@ def _fused_bwd_kernel(dz_ref, idx_ref, stats_ref, w_ref, wrev_ref,
         dwtail_ref[:, :] = jnp.zeros_like(dwtail_ref)
         dg_ref[:, :] = jnp.zeros_like(dg_ref)
         db_ref[:, :] = jnp.zeros_like(db_ref)
+        # dbias is EXACTLY zero analytically: the laynorm mean makes the
+        # conv bias inert (z(y + b) == z(y)), so its Jacobian vanishes;
+        # the composed autodiff path only ever produces ~1e-7 fp noise
+        # here.  Emitting the exact zero saves an f32 ones-dot per window.
         dbias_ref[:, :] = jnp.zeros_like(dbias_ref)
 
     def body(w, _):
@@ -582,17 +593,28 @@ def _fused_bwd_kernel(dz_ref, idx_ref, stats_ref, w_ref, wrev_ref,
         if relu:
             z = xhat * gt_ref[:, :] + bt_ref[:, :]
             dz = jnp.where(z > 0.0, dz, 0.0)
+        # dgamma/dbeta accumulate straight into the VMEM refs: a fori
+        # carry (one RMW per program) measured NEUTRAL at WB=4 and pushes
+        # the WB=8 VMEM stack over its 16 MB limit by ~0.7 MB
         dg_ref[:, :] += dz * xhat
         db_ref[:, :] += dz
         dzg = dz * gt_ref[:, :]
-        A = _colsum_f32(dzg)  # (1, O)
-        B = _colsum_f32(dzg * c)
+        # A = sum_t dzg, B = sum_t dzg*c as ONE lane-concat dot in the
+        # multiply dtype (the f32 3-pass ones-dots were the fused
+        # backward's hottest non-MXU cost); moment-grad reductions in
+        # bf16 are the same arithmetic class as the bf16 data passes
+        O_ = dzg.shape[-1]
+        cc = jnp.concatenate([dzg, dzg * c], axis=1)  # (M, 2O)
+        AB = jax.lax.dot_general(
+            jnp.ones((1, M), mul_dtype), cc.astype(mul_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        A, B = AB[:, :O_], AB[:, O_:]
         # d laynorm: dy = r*dzg - c * (r^2 B)/((M-1) s) - (r/M) A
         # (sum_t c = 0 exactly; s floored so padded zero-variance windows
         # contribute zeros, not NaN)
         fac = (B * r * r) / (max(M - 1, 1) * jnp.maximum(s, 1e-30))
         dy = r * dzg - c * fac - (r / M) * A
-        dbias_ref[0:1, :] += _colsum_f32(dy)
 
         # pool scatter + dW + dX — same passes as _bwd_kernel
         sel = jax.lax.broadcasted_iota(jnp.int32, (M, pool, O), 1)
@@ -612,7 +634,7 @@ def _fused_bwd_kernel(dz_ref, idx_ref, stats_ref, w_ref, wrev_ref,
             w_ref[:, :].astype(mul_dtype), dconv_m,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (128, ct)
-        Wd = dxs_ref.shape[1]
+        Wd = dxs_ref.shape[2]
         mt_p = jnp.pad(mt, ((0, 0), (0, Wd - ct)))
         rolledm = pltpu.roll(mt_p, 0, axis=1, stride=1, stride_axis=0)
         dx = jax.lax.dot_general(
@@ -626,10 +648,12 @@ def _fused_bwd_kernel(dz_ref, idx_ref, stats_ref, w_ref, wrev_ref,
                 preferred_element_type=jnp.float32)
             mrow_p = jnp.pad(mrow, ((0, 0), (0, Wd - ct)))
             dx = dx + pltpu.roll(mrow_p, k, axis=1)
-        dxs_ref[pl.ds(w, 1), :] = dx.astype(dxs_ref.dtype)
+        # 3D stage (window, 8-row sublane pad, Wd): a (WB_FUSED_BWD, Wd)
+        # 2D block would violate the 8-sublane block divisibility rule
+        dxs_ref[w, 0:1, :] = dx.astype(dxs_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, WB, body, 0)
+    jax.lax.fori_loop(0, WB_FUSED_BWD, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("pool", "eps", "relu",
@@ -693,7 +717,7 @@ def _fused_bwd(x, dz, idx, stats, w, bias, gt, bt, K, pool, eps, relu,
     _, M, O = dz.shape
     ct = M * pool
     xp = _padded_x(x, 1, ct, K)
-    Np = ((N + WB - 1) // WB) * WB
+    Np = ((N + WB_FUSED_BWD - 1) // WB_FUSED_BWD) * WB_FUSED_BWD
     if Np > N:
         xp = jnp.pad(xp, ((0, Np - N), (0, 0)))
         dz = jnp.pad(dz, ((0, Np - N), (0, 0), (0, 0)))
@@ -713,13 +737,13 @@ def _fused_bwd(x, dz, idx, stats, w, bias, gt, bt, K, pool, eps, relu,
         functools.partial(_fused_bwd_kernel, K=K, pool=pool, M=M, eps=eps,
                           relu=relu,
                           mul_dtype=_mul_dtype(precision, x.dtype)),
-        grid=(Np // WB,),
+        grid=(Np // WB_FUSED_BWD,),
         in_specs=[
-            pl.BlockSpec((WB, M, O), lambda n: (n, 0, 0),
+            pl.BlockSpec((WB_FUSED_BWD, M, O), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((WB, M, O), lambda n: (n, 0, 0),
+            pl.BlockSpec((WB_FUSED_BWD, M, O), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((WB, 8, O), lambda n: (n, 0, 0),
+            pl.BlockSpec((WB_FUSED_BWD, 8, O), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, O), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -738,7 +762,7 @@ def _fused_bwd(x, dz, idx, stats, w, bias, gt, bt, K, pool, eps, relu,
             pl.BlockSpec((M, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((M, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((WB, Wd), lambda n: (n, 0),
+            pl.BlockSpec((WB_FUSED_BWD, 8, Wd), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -747,15 +771,15 @@ def _fused_bwd(x, dz, idx, stats, w, bias, gt, bt, K, pool, eps, relu,
             jax.ShapeDtypeStruct((M, O), jnp.float32),
             jax.ShapeDtypeStruct((M, O), jnp.float32),
             jax.ShapeDtypeStruct((8, O), jnp.float32),
-            jax.ShapeDtypeStruct((Np, Wd), jnp.float32),
+            jax.ShapeDtypeStruct((Np, 8, Wd), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((WB, 1, Wp), x.dtype),
-            pltpu.SemaphoreType.DMA((WB,)),
+            pltpu.VMEM((WB_FUSED_BWD, 1, Wp), x.dtype),
+            pltpu.SemaphoreType.DMA((WB_FUSED_BWD,)),
         ],
         interpret=interpret,
     )(dz, idx, stats, w128, wrev, wtail, bias8, gt, bt, xp3)
-    dxs = dxs[:N]
+    dxs = dxs[:N, 0, :]
 
     main = min(K, 128)
     dw = jnp.flip(dwrev[128 - main:, :], axis=0)
