@@ -317,7 +317,7 @@ def _conv_pool_fwd(x, w, pool: int, interpret: bool = False,
                           mul_dtype=_mul_dtype(precision, x.dtype)),
         grid=(Np // WB, n_blk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((128, O), lambda n, b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, O), lambda n, b: (0, 0),
@@ -379,7 +379,7 @@ def _conv_pool_bwd(x, dy, idx, w, K: int, pool: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, O), lambda n, b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((128, O), lambda n, b: (0, 0),
@@ -679,7 +679,7 @@ def _fused_fwd(x, w, bias, gt, bt, pool, eps, relu, interpret, precision):
                           mul_dtype=_mul_dtype(precision, x.dtype)),
         grid=(Np // WB,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((128, O), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
@@ -753,7 +753,7 @@ def _fused_bwd(x, dz, idx, stats, w, bias, gt, bt, K, pool, eps, relu,
             pl.BlockSpec((8, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((M, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((M, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((128, O), lambda n: (0, 0),

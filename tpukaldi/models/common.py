@@ -167,8 +167,13 @@ class FastDropout(nn.Module):
             half_shape = tuple(
                 d // 2 if a == axis else d for a, d in enumerate(x.shape)
             )
+            ti = int(round(keep * 65536.0))
+            if ti >= 65536:
+                # rate below the 1/65536 quantum: exact no-op (clamping to
+                # 65535 would still drop ~1/65536 of elements — ADVICE r4)
+                return x
             bits = jax.random.bits(key, half_shape, jnp.uint32)
-            t = jnp.uint32(min(int(round(keep * 65536.0)), 65535))
+            t = jnp.uint32(ti)
             mask = jnp.concatenate(
                 [(bits & jnp.uint32(0xFFFF)) < t, (bits >> 16) < t],
                 axis=axis,

@@ -83,10 +83,26 @@ def _check_scp(where: str, fea: FeatureSpec, issues: List[Issue]):
     if not missing:
         for key, rx in (entries[0], entries[-1]):
             try:
-                path = rx.rpartition(":")[0] or rx
+                path, _, off = rx.rpartition(":")
+                if not (path and off.isdigit()):
+                    path, off = rx, None
                 with open(path, "rb") as f:
-                    head = f.read(max(64, len(key) + 16))
-                if b"RIFF" in head:
+                    if off is not None:
+                        # sniff AT the entry's byte offset: a wav scp entry
+                        # addressed mid-ark starts with RIFF right there,
+                        # and a matrix ark whose head bytes merely contain
+                        # 'RIFF' must not be misrouted (ADVICE r4)
+                        f.seek(int(off))
+                        head = f.read(8)
+                        is_wav = head[:4] == b"RIFF" or (
+                            head[:2] == b"\0B" and head[2:6] == b"RIFF")
+                    else:
+                        # offset-less entry: mirror the production loader's
+                        # sniff window (data/chunk_loader.py:168-179),
+                        # which must cover the leading utterance key
+                        head = f.read(max(64, len(key) + 16))
+                        is_wav = b"RIFF" in head
+                if is_wav:
                     mat = kio.read_vec_flt(rx)[:, None]  # wav ark entry
                 else:
                     mat = kio.read_mat(rx)
@@ -270,37 +286,68 @@ def _check_graph(where: str, lab: LabelSpec, issues):
 
 
 def _n_out_for_label(exp: ExperimentConfig, lab_name: str):
-    """Best-effort output dim for this label stream: the cd head's out_dim
-    when resolvable from the final compute statement chain."""
-    # the graph compiler knows, but needs layouts; use the last arch's
-    # configured output when it is an MLP softmax sized by N_out
-    try:
-        from ..config.model_dsl import used_names  # noqa: F401
+    """Output dim for THIS label stream, traced through the [model] chain:
+    find the cost_nll/cost_err statement consuming lab_name and walk its
+    input back to the compute() whose arch sets the dim (statically
+    derivable for MLP heads via dnn_lay).  Returns None when unresolvable
+    (the dim check is then skipped for the stream) — a global max over all
+    MLP archs would check e.g. a mono stream against the cd head and
+    silently miss overflow errors on the smaller head (ADVICE r4)."""
+    prod = {s.out: s for s in exp.model}
 
-        dims = [
-            int(a.options["dnn_lay"].split(",")[-1])
-            for a in exp.archs.values()
-            if a.class_name == "MLP" and "dnn_lay" in a.options
-        ]
-        return max(dims) if dims else None
-    except Exception:
+    def dim_of(name, depth=0):
+        if depth > 64 or name not in prod:
+            return None
+        s = prod[name]
+        if s.op == "compute":
+            arch = exp.archs.get(s.arg1)
+            if arch is not None and "dnn_lay" in arch.options:
+                try:
+                    return int(arch.options["dnn_lay"].split(",")[-1])
+                except ValueError:
+                    return None
+            return None
+        if s.op == "concatenate":
+            a = dim_of(s.arg1, depth + 1)
+            b = dim_of(s.arg2, depth + 1)
+            return a + b if (a and b) else None
+        if s.op in ("mult", "sum", "avg", "mse"):
+            return dim_of(s.arg1, depth + 1) or dim_of(s.arg2, depth + 1)
+        if s.op in ("mult_constant", "sum_constant"):
+            return dim_of(s.arg1, depth + 1)
         return None
+
+    try:
+        for s in exp.model:
+            if s.op in ("cost_nll", "cost_err") and s.arg2 == lab_name:
+                d = dim_of(s.arg1)
+                if d:
+                    return d
+    except Exception:
+        pass
+    return None
 
 
 def check_experiment_data(exp: ExperimentConfig) -> List[Issue]:
     issues: List[Issue] = []
     for ds_name, ds in exp.datasets.items():
+        # every feature stream gets its scp/ark/fea_opts validation (a
+        # multi-stream ensemble must not pass preflight on stream 0 alone
+        # — ADVICE r4); label/counts/graph checks run once per dataset,
+        # against the first stream with readable utterance ids
+        ds_fea_utts = None
         for fea_name, fea in ds.features.items():
             where = f"{ds_name}:{fea_name}"
             fea_utts, spot = _check_scp(where, fea, issues)
             _check_fea_opts(where, fea, spot, issues)
-            for lab_name, lab in ds.labels.items():
-                lwhere = f"{ds_name}:{lab_name}"
-                n_out = _n_out_for_label(exp, lab_name)
-                _check_labels(lwhere, lab, fea_utts, n_out, issues)
-                _check_counts(lwhere, lab, n_out, issues)
-                _check_graph(lwhere, lab, issues)
-            break  # label checks are per-dataset; one fea's utts suffice
+            if ds_fea_utts is None and fea_utts:
+                ds_fea_utts = fea_utts
+        for lab_name, lab in ds.labels.items():
+            lwhere = f"{ds_name}:{lab_name}"
+            n_out = _n_out_for_label(exp, lab_name)
+            _check_labels(lwhere, lab, ds_fea_utts, n_out, issues)
+            _check_counts(lwhere, lab, n_out, issues)
+            _check_graph(lwhere, lab, issues)
     # [forward] normalization counts
     for i, src in enumerate(getattr(exp.forward, "counts_from", []) or []):
         if src and src not in ("None", "none", "auto") and not os.path.isfile(src):
