@@ -103,16 +103,53 @@ def save_all(
 
 class AsyncCheckpointer:
     """Overlap checkpoint writes with training: device->host copies start
-    asynchronously, then a worker thread serializes and writes while the
-    next chunk trains.  `wait()` joins the in-flight save (call before
-    reading the files or at shutdown)."""
+    asynchronously, then a persistent worker thread serializes and writes
+    while subsequent chunks train.  Saves QUEUE (bounded depth 2) instead of
+    joining the previous one — on a tunneled chip a save's D2H+disk can
+    outlast a short chunk, and a join at the next save call would gate every
+    chunk start on it (the round-4 `ckpt_block` 7.26 s/epoch was exactly
+    this wait).  `wait()` drains the whole queue (call before reading the
+    files or at shutdown)."""
 
     def __init__(self):
         self._thread: Optional[threading.Thread] = None
+        self._queue = None
         self._error: Optional[BaseException] = None
 
+    def _ensure_worker(self):
+        if self._thread is None:
+            import queue
+
+            # depth 2: at most two snapshots (device copies) outstanding —
+            # bounds the extra HBM held by pending saves; a third save
+            # blocks until the oldest write completes
+            self._queue = queue.Queue(maxsize=2)
+
+            def work():
+                while True:
+                    item = self._queue.get()
+                    try:
+                        if item is None:
+                            return
+                        try:
+                            save_all(
+                                item["paths"], item["params"], item["opt"],
+                                item["stats"],
+                            )
+                        except BaseException as e:
+                            self._error = e
+                    finally:
+                        self._queue.task_done()
+
+            self._thread = threading.Thread(
+                target=work, daemon=True, name="tpukaldi-ckpt-writer"
+            )
+            self._thread.start()
+
     def save_all_async(self, paths, params, opt_states=None, batch_stats=None):
-        self.wait()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
         # snapshot on device: the training step donates its param/opt-state
         # buffers, so the worker must not read the live arrays — device
@@ -135,23 +172,12 @@ class AsyncCheckpointer:
                 snap, {a: (batch_stats or {}).get(a) for a in paths}
             ),
         }
-
-        def work():
-            try:
-                save_all(
-                    payload["paths"], payload["params"], payload["opt"],
-                    payload["stats"],
-                )
-            except BaseException as e:
-                self._error = e
-
-        self._thread = threading.Thread(target=work, daemon=True)
-        self._thread.start()
+        self._ensure_worker()
+        self._queue.put(payload)
 
     def wait(self):
         if self._thread is not None:
-            self._thread.join()
-            self._thread = None
+            self._queue.join()
             if self._error is not None:
                 err, self._error = self._error, None
                 raise err
