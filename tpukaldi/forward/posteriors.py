@@ -73,6 +73,19 @@ class PosteriorWriter:
             path = info_file.replace(".info", f"_{out}{suffix}")
             self.paths[out] = path
             self.files[out] = open(path, "wb")
+        # TPUKALDI_FORWARD_ARK_CODEC=cm2 writes Kaldi CompressedMatrix
+        # format-2 arks (~2x smaller on disk, ~1e-4 relative quantization;
+        # latgen reads them transparently).  fm (default) = exact float32,
+        # the posterior-parity contract.
+        codec = os.environ.get(
+            "TPUKALDI_FORWARD_ARK_CODEC", "fm").strip().lower()
+        if codec not in ("fm", "cm2", "cm"):
+            raise ValueError(
+                f"TPUKALDI_FORWARD_ARK_CODEC={codec!r}: use fm or cm2")
+        self._write_mat = (
+            kio.write_mat_compressed if codec in ("cm2", "cm")
+            else kio.write_mat
+        )
 
     def write(self, out_name: str, key: str, log_post: np.ndarray) -> None:
         if self.subtract_on_write:
@@ -81,7 +94,7 @@ class PosteriorWriter:
                 log_post = log_post - prior
         if log_post.dtype != np.float32:
             log_post = log_post.astype(np.float32)
-        kio.write_mat(self.files[out_name], log_post, key=key)
+        self._write_mat(self.files[out_name], log_post, key=key)
 
     def close(self) -> List[str]:
         for f in self.files.values():

@@ -7,6 +7,19 @@ import logging
 _log = logging.getLogger("tpukaldi.kernels")
 _warned: set = set()
 
+# cell -> last backward impl that dispatched, with its shape — surfaced by
+# bench.py as an impl_dispatch_<cell> row so a VMEM fallback can never
+# masquerade as the fused kernel in the perf record (VERDICT r4 #7)
+_dispatched: dict = {}
+
+
+def record_dispatch(cell: str, impl: str, B: int, H: int) -> None:
+    _dispatched[cell] = f"{impl}@B{B}xH{H}"
+
+
+def get_dispatch(cell: str) -> str:
+    return _dispatched.get(cell, "unrecorded")
+
 
 def log_vmem_fallback(cell: str, B: int, H: int) -> None:
     """Warn (once per shape) when a fused pallas backward silently

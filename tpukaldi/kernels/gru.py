@@ -253,10 +253,14 @@ def _bwd(act_name, interpret, res, g):
     ff, uzr, uh, mask, h_seq = res
     T, B, H3 = ff.shape
     H = H3 // 3
+    from tpukaldi.kernels._common import record_dispatch
+
     if not _bwd_fits_vmem(B, H):
         _log_vmem_fallback("gru", B, H)
+        record_dispatch("gru", "hoisted_scan_bwd", B, H)
         grads = _bwd_scan(act_name, interpret, res, g)
     else:
+        record_dispatch("gru", "fused_pallas_bwd", B, H)
         h_prev = jnp.concatenate(
             [jnp.zeros((1, B, H), ff.dtype), h_seq[:-1]], axis=0
         )

@@ -222,6 +222,9 @@ def _bwd(interpret, res, g):
     `_bwd_scan` for parity tests)."""
     ff, u, mask, h_seq = res
     T, B, H = h_seq.shape
+    from tpukaldi.kernels._common import record_dispatch
+
+    record_dispatch("ligru", "fused_pallas_bwd", B, H)
     h_prev = jnp.concatenate(
         [jnp.zeros((1, B, H), ff.dtype), h_seq[:-1]], axis=0
     )

@@ -259,10 +259,14 @@ def _bwd(interpret, res, g):
     ff, u, mask, h_seq, c_seq = res
     T, B, H4 = ff.shape
     H = H4 // 4
+    from tpukaldi.kernels._common import record_dispatch
+
     if not _bwd_fits_vmem(B, H):
         _log_vmem_fallback("lstm", B, H)
+        record_dispatch("lstm", "hoisted_scan_bwd", B, H)
         grads = _bwd_scan(interpret, res, g)
     else:
+        record_dispatch("lstm", "fused_pallas_bwd", B, H)
         zeros = jnp.zeros((1, B, H), ff.dtype)
         h_prev = jnp.concatenate([zeros, h_seq[:-1]], axis=0)
         c_prev = jnp.concatenate([zeros, c_seq[:-1]], axis=0)

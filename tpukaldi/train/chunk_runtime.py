@@ -28,6 +28,14 @@ from ..data.batching import (
     iter_seq_batches,
 )
 from ..data.chunk_loader import ChunkData, load_chunk
+from ..data.device_cache import (
+    CacheUnavailable,
+    ChunkIndexData,
+    DeviceCorpusCache,
+    IdxBatch,
+    iter_frame_index_batches,
+    iter_seq_index_batches,
+)
 from ..data.prefetch import ChunkPrefetcher
 from ..forward.posteriors import PosteriorWriter
 from ..graph.compiler import build_graph, init_graph
@@ -160,6 +168,11 @@ class ChunkRuntime:
         self.prefetcher = ChunkPrefetcher()
         self.checkpointer = AsyncCheckpointer()
         self._loaded_from: Dict[str, str] = {}
+        # HBM-resident corpus cache (data/device_cache.py): on-device batch
+        # assembly replaces the per-epoch re-upload of every padded batch —
+        # the dominant e2e cost on link-bound hosts (measured: h2d 2x the
+        # device compute of a TIMIT epoch on the tunneled chip)
+        self.device_cache: Optional[DeviceCorpusCache] = None
 
     # ---------------- data ----------------
     def load_task_chunk(self, task: ChunkTask, max_seq_length) -> ChunkData:
@@ -184,6 +197,17 @@ class ChunkRuntime:
         else:
             msl = max_seq_length
         shuffle = task.phase == "train" and not self.seq_model
+        if self._use_device_cache(task):
+            try:
+                if self.device_cache is None:
+                    self.device_cache = DeviceCorpusCache()
+                return self.device_cache.load_chunk_index(
+                    ds, fea_names, lab_names, msl,
+                    shuffle_frames=shuffle, seed=task.seed,
+                    lst_files=task.lst_files,
+                )
+            except CacheUnavailable as e:
+                logging.info("device cache unavailable (%s); host path", e)
         return load_chunk(
             ds,
             fea_names,
@@ -194,6 +218,18 @@ class ChunkRuntime:
             seed=task.seed,
             fea_lst_override=task.lst_files,
         )
+
+    def _use_device_cache(self, task: ChunkTask) -> bool:
+        """TPUKALDI_DEVICE_CACHE: auto (default; single-device TPU runs),
+        1 (forced — used by the CPU equivalence tests), 0 (off)."""
+        mode = os.environ.get("TPUKALDI_DEVICE_CACHE", "auto").strip().lower()
+        if mode in ("0", "off", "false"):
+            return False
+        if task.phase not in ("train", "valid") or self.exp.production:
+            return False
+        if mode in ("1", "on", "true", "force"):
+            return True
+        return jax.default_backend() == "tpu" and self.mesh is None
 
     # ---------------- state ----------------
     def ensure_initialized(self, chunk: ChunkData, sample_feats, sample_labs):
@@ -331,6 +367,14 @@ class ChunkRuntime:
         return result
 
     def _batches(self, chunk: ChunkData, batch_size: int, train: bool, seed: int):
+        if isinstance(chunk, ChunkIndexData):
+            if self.seq_model:
+                rng = np.random.default_rng(seed) if train else None
+                pad_to_bucket = os.environ.get(
+                    "TPUKALDI_PAD_TO_BUCKET", "1") != "0"
+                return iter_seq_index_batches(
+                    chunk, batch_size, rng=rng, pad_to_bucket=pad_to_bucket)
+            return iter_frame_index_batches(chunk, batch_size)
         if self.seq_model:
             rng = np.random.default_rng(seed) if train else None
             # TPUKALDI_PAD_TO_BUCKET=0: pad sequences exactly to the batch
@@ -365,7 +409,12 @@ class ChunkRuntime:
         first = next(self._batches(chunk, batch_size, False, task.seed), None)
         if first is None:
             return ChunkResult(0.0, 0.0, 0.0, 0)
-        self.ensure_initialized(chunk, first.feats, first.labs)
+        if isinstance(first, IdxBatch):
+            f0, l0 = self.device_cache.assemble(
+                chunk, first.fea_idx, first.lab_idx)
+            self.ensure_initialized(chunk, f0, l0)
+        else:
+            self.ensure_initialized(chunk, first.feats, first.labs)
         t0 = time.perf_counter()
         self.restore_from(task.pretrain_files)
         t_restore = time.perf_counter() - t0
@@ -402,9 +451,19 @@ class ChunkRuntime:
         # with the other phases when prefetch is on
 
         def _stackable(group):
+            b0 = group[0]
+            if isinstance(b0, IdxBatch):
+                return all(
+                    b.lab_idx.shape == b0.lab_idx.shape
+                    and all(
+                        b.fea_idx[s].shape == b0.fea_idx[s].shape
+                        for s in b0.fea_idx
+                    )
+                    for b in group
+                )
             return all(
-                b.feats.shape == group[0].feats.shape
-                and b.labs.shape == group[0].labs.shape
+                b.feats.shape == b0.feats.shape
+                and b.labs.shape == b0.labs.shape
                 for b in group
             )
 
@@ -432,16 +491,31 @@ class ChunkRuntime:
                     group = window[:K]
                     del window[:K]
                     t0 = tick()
-                    feats_k = np.stack([b.feats for b in group])
-                    labs_k = np.stack([b.labs for b in group])
-                    n_valid_k = (
-                        np.asarray(
-                            [b.n_valid_t or b.feats.shape[0] for b in group],
-                            dtype=np.int32,
+                    if isinstance(group[0], IdxBatch):
+                        feats_k = {
+                            s: np.stack([b.fea_idx[s] for b in group])
+                            for s in group[0].fea_idx
+                        }
+                        labs_k = np.stack([b.lab_idx for b in group])
+                        n_valid_k = (
+                            np.asarray(
+                                [b.n_valid_t for b in group], dtype=np.int32
+                            )
+                            if self.seq_model
+                            else None
                         )
-                        if self.seq_model
-                        else None
-                    )
+                    else:
+                        feats_k = np.stack([b.feats for b in group])
+                        labs_k = np.stack([b.labs for b in group])
+                        n_valid_k = (
+                            np.asarray(
+                                [b.n_valid_t or b.feats.shape[0]
+                                 for b in group],
+                                dtype=np.int32,
+                            )
+                            if self.seq_model
+                            else None
+                        )
                     t_hbatch[0] += tick() - t0
                     yield ("group", feats_k, labs_k, n_valid_k, idx)
                     idx += K
@@ -465,8 +539,14 @@ class ChunkRuntime:
             if item[0] == "group":
                 _, feats_np, labs_np, n_valid_np, base = item
                 t0 = tick()
-                feats_k = jax.numpy.asarray(feats_np)
-                labs_k = jax.numpy.asarray(labs_np)
+                if isinstance(feats_np, dict):
+                    # index mode: ship (K,T,B,n_lags) int32 indices and
+                    # assemble the batch on device from the resident corpus
+                    feats_k, labs_k = self.device_cache.assemble(
+                        chunk, feats_np, labs_np)
+                else:
+                    feats_k = jax.numpy.asarray(feats_np)
+                    labs_k = jax.numpy.asarray(labs_np)
                 n_valid_k = (
                     jax.numpy.asarray(n_valid_np)
                     if n_valid_np is not None else None
@@ -491,9 +571,9 @@ class ChunkRuntime:
                 losses.append(loss_k)
                 errs.append(err_k)
                 n += K
-                frames += feats_np.shape[0] * (
-                    feats_np.shape[1] * feats_np.shape[2]
-                    if feats_np.ndim == 4 else feats_np.shape[1]
+                frames += feats_k.shape[0] * (
+                    feats_k.shape[1] * feats_k.shape[2]
+                    if feats_k.ndim == 4 else feats_k.shape[1]
                 )
                 if show_progress:
                     label = "Training" if train else "Validating"
@@ -502,13 +582,14 @@ class ChunkRuntime:
                 continue
             _, batch, batch_index = item
             t0 = tick()
-            feats = jax.numpy.asarray(batch.feats)
-            labs = jax.numpy.asarray(batch.labs)
+            if isinstance(batch, IdxBatch):
+                feats, labs = self.device_cache.assemble(
+                    chunk, batch.fea_idx, batch.lab_idx)
+            else:
+                feats = jax.numpy.asarray(batch.feats)
+                labs = jax.numpy.asarray(batch.labs)
             n_valid = (
-                jax.numpy.asarray(
-                    batch.n_valid_t or batch.feats.shape[0],
-                    dtype=jax.numpy.int32,
-                )
+                jax.numpy.asarray(batch.n_valid_t, dtype=jax.numpy.int32)
                 if getattr(batch, "n_valid_t", None) is not None
                 else None
             )
@@ -696,10 +777,20 @@ class ChunkRuntime:
                     item = wq.get()
                     if item is None:
                         return
-                    outs_np, names, lengths, B = item
+                    outs_np, names, lengths, B, offsets = item
                     t0 = tick()
                     try:
                         for out_name, post in outs_np.items():
+                            if offsets is not None:
+                                # packed layout: utterance k's real frames
+                                # sit at rows [offsets[k], +lengths[k]) —
+                                # zero-copy views, no reshape
+                                for k, name in enumerate(names):
+                                    o = int(offsets[k])
+                                    writer.write(
+                                        out_name, name,
+                                        post[o : o + int(lengths[k])])
+                                continue
                             # front-ends may change the time axis (samples
                             # -> mel frames); recover it from the flattened
                             # output; the batch axis stays the PADDED width
@@ -717,7 +808,29 @@ class ChunkRuntime:
 
             wt = threading.Thread(target=_writer_loop, daemon=True)
             wt.start()
-            pending = None
+            from collections import deque
+
+            # depth-N D2H pipeline: copy_to_host_async starts each batch's
+            # posterior transfer the moment its compute finishes, so the
+            # link stays busy across batches instead of idling between one
+            # synchronous np.asarray and the next dispatch (round-4: the
+            # stage achieved ~21% of the measured link ceiling)
+            pending: "deque" = deque()
+            depth = max(int(_os.environ.get(
+                "TPUKALDI_FORWARD_PIPELINE_DEPTH", "3")), 1)
+            # on-device packing: gather real frames contiguously before the
+            # D2H (train/step.py make_forward_step pack_idx); rate-differing
+            # chunks keep the padded layout (output T is model-derived)
+            use_pack = not chunk.rates_differ and _os.environ.get(
+                "TPUKALDI_FORWARD_PACK", "1") != "0"
+            _CAPS = (256, 512, 1024, 1536, 2048, 3072, 4096, 6144,
+                     8192, 12288, 16384, 24576, 32768)
+
+            def _cap_for(total):
+                for c in _CAPS:
+                    if total <= c:
+                        return c
+                return int(np.ceil(total / 8192) * 8192)
 
             def _put(item):
                 # werr-aware put: a dead writer never drains the bounded
@@ -734,11 +847,11 @@ class ChunkRuntime:
 
             def drain(p):
                 nonlocal t_write
-                outs, names, lengths, B = p
+                outs, names, lengths, B, offsets = p
                 t0 = tick()
                 outs_np = {k: np.asarray(v) for k, v in outs.items()}
                 t_write += tick() - t0
-                _put((outs_np, names, lengths, B))
+                _put((outs_np, names, lengths, B, offsets))
 
             try:
                 for batch in iter_forward_batches(chunk, fwd_bs):
@@ -750,22 +863,48 @@ class ChunkRuntime:
                     lens_d = jax.device_put(
                         np.asarray(_out_lengths(batch.lengths), np.int32)
                     )
+                    offsets = None
+                    pack_d = None
+                    if use_pack:
+                        lens = np.asarray(batch.lengths, np.int64)
+                        total = int(lens.sum())
+                        cap = _cap_for(total)
+                        idx = np.zeros(cap, np.int32)
+                        offsets = np.zeros(len(lens), np.int64)
+                        pos = 0
+                        for k, ln in enumerate(lens):
+                            offsets[k] = pos
+                            idx[pos : pos + ln] = (
+                                np.arange(ln, dtype=np.int32) * B + k
+                            )
+                            pos += int(ln)
+                        pack_d = jax.device_put(idx)
                     t_h2d += tick() - t0
                     t0 = tick()
-                    outs = fwd(
-                        self.params, self.batch_stats, feats_d, lens_d
-                    )
+                    if pack_d is not None:
+                        outs = fwd(
+                            self.params, self.batch_stats, feats_d, lens_d,
+                            pack_d,
+                        )
+                    else:
+                        outs = fwd(
+                            self.params, self.batch_stats, feats_d, lens_d
+                        )
+                    for v in outs.values():
+                        if hasattr(v, "copy_to_host_async"):
+                            v.copy_to_host_async()
                     t_disp += tick() - t0
-                    if pending is not None:
-                        drain(pending)
-                    pending = (outs, batch.names, batch.lengths, B)
+                    pending.append(
+                        (outs, batch.names, batch.lengths, B, offsets))
+                    while len(pending) > depth:
+                        drain(pending.popleft())
                     # real utterances / frames only (batches are padded to
                     # the full batch width; counting T*B would credit the
                     # fps metric with phantom frames)
                     n += len(batch.names)
                     frames += int(sum(_out_lengths(batch.lengths)))
-                if pending is not None:
-                    drain(pending)
+                while pending:
+                    drain(pending.popleft())
             finally:
                 # shutdown that can't hang: a live-but-slow writer gets the
                 # sentinel via a normal put; if the writer died, drop the

@@ -257,7 +257,13 @@ def make_forward_step(graph: GraphSpec, out_names: Optional[list] = None,
     still written float32; only the values are quantized (~5e-4 relative
     — invisible to a WFST decoder at beam/acwt scales, but OUTSIDE the
     1e-4 posterior parity contract, hence opt-in via
-    TPUKALDI_FORWARD_D2H, never default)."""
+    TPUKALDI_FORWARD_D2H, never default).
+
+    `pack_idx` (optional per call, (cap,) int32): gather of the flattened
+    (T*B, C) output BEFORE the device->host copy, packing each utterance's
+    real frames contiguously and dropping bucket/batch padding — the D2H
+    then moves only real frames (+ slack up to the cap bucket).  On the
+    tunneled chip padding was ~30-40% of the posterior-path bytes."""
     out_names = out_names or graph.forward_outs
     priors = {
         name: (None if log_priors is None or log_priors.get(name) is None
@@ -265,7 +271,7 @@ def make_forward_step(graph: GraphSpec, out_names: Optional[list] = None,
         for name in out_names
     }
 
-    def step(params, batch_stats, feats, lengths):
+    def step(params, batch_stats, feats, lengths, pack_idx=None):
         params, feats = _cast_compute(params, feats, compute_dtype)
         outs, _ = apply_graph(
             graph, params, batch_stats, feats, None, train=False,
@@ -280,7 +286,10 @@ def make_forward_step(graph: GraphSpec, out_names: Optional[list] = None,
                 o = o - priors[name]
             if d2h_dtype is not None:
                 o = o.astype(d2h_dtype)
-            result[name] = o.reshape(o.shape[0] * o.shape[1], -1) if o.ndim == 3 else o
+            o = o.reshape(o.shape[0] * o.shape[1], -1) if o.ndim == 3 else o
+            if pack_idx is not None:
+                o = jnp.take(o, pack_idx, axis=0)
+            result[name] = o
         return result
 
     return jax.jit(step)
