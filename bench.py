@@ -31,6 +31,16 @@ import optax
 
 BASELINE_FPS = 12900.0  # frames/sec, reference-GPU estimate (see docstring)
 
+# persistent XLA compile cache for EVERY section (set at import, not per
+# function — the step-rate section was measured paying ~22 s/bucket-shape
+# recompiles without it): repeat bench invocations and repeat sections in
+# one invocation skip the one-time compiles, which are minutes over the
+# tunnel on this single-core host
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpukaldi_xla_cache")
+except Exception:
+    pass
+
 T, B, D = 500, 8, 40  # max_seq_length-scale batch at the reference batch size
 N_CD, N_MONO = 1944, 48
 WARMUP, ITERS, WINDOWS = 3, 20, 3
@@ -69,6 +79,35 @@ _BENCH_JSON = os.environ.get(
     "TPUKALDI_BENCH_JSON",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
 )
+
+# global wall-clock deadline (VERDICT r4 #1: the round-4 bench overran the
+# driver's budget and was killed mid-soak — rc=124, no soak row, no final
+# re-emit).  Every section budget is clamped to the time remaining, late
+# sections are skipped rather than started, and the tail re-emit runs in a
+# `finally`, so the artifact is complete whatever the driver's budget is.
+_T0 = time.time()
+_DEADLINE = _T0 + int(os.environ.get("TPUKALDI_BENCH_DEADLINE", "2400"))
+_TAIL_RESERVE = 60  # seconds kept back for the final re-emit block
+
+
+def _remaining() -> int:
+    return max(int(_DEADLINE - time.time()) - _TAIL_RESERVE, 0)
+
+
+def _section_budget(default: int, label: str):
+    """min(default, time left); returns None when the section must be
+    skipped outright."""
+    import sys
+
+    left = _remaining()
+    if left < 30:
+        print(f"[bench] skipping {label}: {left}s left before the global "
+              f"deadline", file=sys.stderr)
+        return None
+    if left < default:
+        print(f"[bench] clamping {label} budget {default}s -> {left}s",
+              file=sys.stderr)
+    return min(default, left)
 
 
 def _emit(metric, value, unit, vs):
@@ -406,10 +445,14 @@ def _wait_for_tpu() -> bool:
         return True
     except TimeoutError:
         pass
-    # observed axon wedges last up to ~2.5 h; default to a 1 h wait (the
-    # round-end bench is the only artifact that can capture real-TPU
-    # numbers, so patience beats a fast rc=3)
-    deadline = time.time() + int(os.environ.get("TPUKALDI_BENCH_WAIT", "3600"))
+    # observed axon wedges last up to ~2.5 h, but the wait may never eat
+    # the measurement window: cap it at the global deadline minus the time
+    # the core sections need (round-4 lesson: un-clamped budgets summed to
+    # 3x any plausible driver budget)
+    wait_cap = max(_remaining() - 900, 120)
+    deadline = time.time() + min(
+        int(os.environ.get("TPUKALDI_BENCH_WAIT", "3600")), wait_cap
+    )
     probe = ("import jax, jax.numpy as jnp; "
              "print(float(jax.device_get("
              "jnp.dot(jnp.ones((8, 8)), jnp.ones((8, 8)))).sum()))")
@@ -553,14 +596,33 @@ def main():
     _emit("train_frames_per_sec_per_chip_liGRU_fmllr", round(fps, 1),
           "frames/s", round(fps / BASELINE_FPS, 2))
 
+    # everything below runs inside one try/finally: the tail re-emit is
+    # unconditional, so even a section crash or a near-deadline skip leaves
+    # the load-bearing rows as the final stdout lines
+    try:
+        _main_sections(body, head_cd, params, stats, x)
+    finally:
+        # final stdout lines: re-emit the load-bearing rows so the driver's
+        # 20-line tail cannot truncate them away, headline strictly last
+        # (the driver parses the final line); the full set is in BENCH.json
+        _emit_tail("train_frames_per_sec_per_chip_liGRU_fmllr")
+    return 0
+
+
+def _main_sections(body, head_cd, params, stats, x):
+    import sys
+
     # ---- forward stage, compute only (VERDICT r3 #3) ---------------------
     # device forward + on-device log-prior subtraction at flagship shapes,
     # NO D2H / ark write: separates what the chip can do from what the
     # tunneled link can move (the incl-ark-write row below stays link-bound
     # at ~9.3 KB/frame; a PCIe-attached host would see this row instead)
+    budget = _section_budget(int(os.environ.get(
+        "TPUKALDI_BENCH_FWD_BUDGET", "180")), "forward compute")
     try:
-        with _Budget(int(os.environ.get(
-                "TPUKALDI_BENCH_FWD_BUDGET", "300")), "forward compute"):
+        if budget is None:
+            raise TimeoutError("skipped: global deadline")
+        with _Budget(budget, "forward compute"):
             log_priors = jnp.log(jnp.full((N_CD,), 1.0 / N_CD, jnp.float32))
 
             @jax.jit
@@ -594,42 +656,28 @@ def main():
 
         print(f"[bench] {e}; continuing", file=sys.stderr)
 
-    # ---- zoo family rows (budgeted) -------------------------------------
-    if os.environ.get("TPUKALDI_BENCH_ZOO", "1") != "0":
-        try:
-            with _Budget(int(os.environ.get(
-                    "TPUKALDI_BENCH_ZOO_BUDGET", "1500")), "zoo section"):
-                for metric, zfps in bench_zoo():
-                    _emit(metric, round(zfps, 1), "frames/s",
-                          round(zfps / BASELINE_FPS, 2))
-        except TimeoutError as e:
-            import sys
-
-            print(f"[bench] {e}; continuing", file=sys.stderr)
-
     # ---- end-to-end epoch: the FULL driver at TIMIT scale ----------------
     # (train + validation + host pipeline + ledger + async checkpoints +
     # posterior-emission forward); epoch 0 pays the one-time XLA bucket
     # compiles, epoch 1 is the warm steady state the reference's ~87
-    # s/epoch res.res trace corresponds to.
-    # (the round-2 ckpt-cadence row was dropped: async checkpointing made
-    # the knob indistinguishable at TIMIT scale — 11.0 s vs 11.0 s in
-    # BENCH_r02 — so the row measured noise)
+    # s/epoch res.res trace corresponds to.  Runs BEFORE the zoo: the warm
+    # epoch is a round-5 done-criterion and may not depend on the zoo
+    # fitting its budget.
     e2e = None
     e2e_cad = None
     if os.environ.get("TPUKALDI_BENCH_E2E", "1") != "0":
+        budget = _section_budget(int(os.environ.get(
+            "TPUKALDI_BENCH_E2E_BUDGET", "1200")), "e2e section")
         try:
-            with _Budget(int(os.environ.get(
-                    "TPUKALDI_BENCH_E2E_BUDGET", "2400")), "e2e section"):
+            if budget is None:
+                raise TimeoutError("skipped: global deadline")
+            with _Budget(budget, "e2e section"):
                 e2e = bench_e2e_epoch()
-                # ckpt-cadence row, re-added for round 3: round 2 dropped it
-                # as degenerate (11.0 s vs 11.0 s) — the cause was
-                # restore_from joining the async writer on EVERY chunk
-                # start, which equalized the cadences.  With that fix the
-                # knob is load-bearing again (measured 10.0 s -> 6.0 s):
-                # per-epoch cadence removes the per-chunk ~140 MB checkpoint
-                # D2H that contends with train dispatches on the link.
-                e2e_cad = bench_e2e_epoch(ckpt_every=5)
+                # ckpt-cadence A/B: per-epoch cadence removes the per-chunk
+                # checkpoint D2H that contends with train traffic on the
+                # link (with the queued async checkpointer the cadences
+                # should now be near-equal — the row is the evidence)
+                e2e_cad = bench_e2e_epoch(ckpt_every=5, skip_forward=True)
         except TimeoutError as e:
             import sys
 
@@ -687,17 +735,65 @@ def main():
               round(e2e_cad["epoch_s"], 1), "s",
               round(87.0 / e2e_cad["epoch_s"], 2))
 
+    # ---- e2e step rate at recipe shapes (VERDICT r4 #6) ------------------
+    # device step throughput over ONE e2e chunk's real (bucketed, B=8)
+    # batches with the data resident — the number that explains
+    # e2e_phase_drain_compute as frames / rate, next to the T=500 bench
+    # step row above
+    budget = _section_budget(int(os.environ.get(
+        "TPUKALDI_BENCH_STEPRATE_BUDGET", "300")), "e2e step rate")
+    try:
+        if budget is None:
+            raise TimeoutError("skipped: global deadline")
+        with _Budget(budget, "e2e step rate"):
+            rate = bench_e2e_step_rate()
+            _emit("e2e_step_frames_per_sec", round(rate, 1), "frames/s",
+                  round(rate / BASELINE_FPS, 2))
+    except TimeoutError as e:
+        print(f"[bench] {e}; continuing", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] e2e step rate failed: {e!r}", file=sys.stderr)
+
+    # ---- zoo family rows (budgeted) -------------------------------------
+    if os.environ.get("TPUKALDI_BENCH_ZOO", "1") != "0":
+        budget = _section_budget(int(os.environ.get(
+            "TPUKALDI_BENCH_ZOO_BUDGET", "1200")), "zoo section")
+        try:
+            if budget is None:
+                raise TimeoutError("skipped: global deadline")
+            with _Budget(budget, "zoo section"):
+                for metric, zfps in bench_zoo():
+                    _emit(metric, round(zfps, 1), "frames/s",
+                          round(zfps / BASELINE_FPS, 2))
+        except TimeoutError as e:
+            print(f"[bench] {e}; continuing", file=sys.stderr)
+    # impl-dispatch records (VERDICT r4 #7): which backward actually ran
+    # for each recurrent cell at the shapes above — value 1.0 = the fused
+    # pallas backward, 0.0 = the hoisted-scan fallback, unit = the record
+    try:
+        from tpukaldi.kernels._common import get_dispatch
+
+        for cell in ("ligru", "lstm", "gru", "qlstm"):
+            rec = get_dispatch(cell)
+            if rec != "unrecorded":
+                _emit(f"impl_dispatch_{cell}",
+                      1.0 if rec.startswith("fused_pallas") else 0.0,
+                      rec, 1.0 if rec.startswith("fused_pallas") else 0.0)
+    except Exception:
+        pass
+
     # ---- Librispeech-100h-scale soak incl. forward (VERDICT r3 #6) -------
     # the reference runs train -> valid -> forward -> decode per experiment;
-    # this row measures that whole pipeline at ~3x the round-2 soak scale
-    # (90k train utts / ~26M frames) with the phase ledger active.  Runs
-    # LAST: it is the most expensive section and a budget overrun must not
-    # cost any other row.
+    # this row measures that whole pipeline at ~24x TIMIT scale (90k train
+    # utts / ~26M frames) with the phase ledger active.  Runs LAST with
+    # whatever time remains; on a timeout the PARTIAL results (completed
+    # epochs / chunk ledger) are still parsed and emitted (VERDICT r4 #1).
     if os.environ.get("TPUKALDI_BENCH_SOAK", "1") != "0":
-        try:
-            with _Budget(int(os.environ.get(
-                    "TPUKALDI_BENCH_SOAK_BUDGET", "2700")), "soak section"):
-                soak = bench_soak_epoch()
+        budget = _section_budget(int(os.environ.get(
+            "TPUKALDI_BENCH_SOAK_BUDGET", "100000")), "soak section")
+        if budget is not None:
+            soak = bench_soak_epoch(budget)
+            if soak is not None and soak.get("epoch_s"):
                 _emit("soak_librispeech_epoch_seconds",
                       round(soak["epoch_s"], 1), "s",
                       # vs_baseline: reference 87 s/epoch was ~1.12M TIMIT
@@ -707,33 +803,33 @@ def main():
                 _emit("soak_epoch_frames_per_sec",
                       round(soak["fps"], 1), "frames/s",
                       round(soak["fps"] / BASELINE_FPS, 2))
+                if soak.get("partial"):
+                    _emit("soak_epochs_completed", soak["n_epochs_done"],
+                          "epochs", soak["n_epochs_done"])
                 if soak.get("forward_fps"):
                     _emit("soak_forward_frames_per_sec_incl_ark_write",
                           round(soak["forward_fps"], 1), "frames/s",
                           round(soak["forward_fps"] / BASELINE_FPS, 2))
-                wall = max(soak["phases"].get("epoch_wall", 0.0), 1e-9)
-                for k, v in soak["phases"].items():
+                for k, v in (soak.get("phases") or {}).items():
                     if k != "epoch_wall":
+                        wall = max(soak["phases"].get("epoch_wall", 0.0),
+                                   1e-9)
                         _emit(f"soak_phase_{k}_seconds", round(v, 2), "s",
                               round(v / wall, 3))
-        except TimeoutError as e:
-            import sys
-
-            print(f"[bench] {e}; soak skipped", file=sys.stderr)
-
-    # final stdout lines: re-emit the load-bearing rows so the driver's
-    # 20-line tail cannot truncate them away, headline strictly last
-    # (the driver parses the final line); the complete set is in BENCH.json
-    _emit_tail("train_frames_per_sec_per_chip_liGRU_fmllr")
-    return 0
+            elif soak is not None and soak.get("partial_fps"):
+                _emit("soak_partial_frames_per_sec",
+                      round(soak["partial_fps"], 1), "frames/s",
+                      round(soak["partial_fps"] / BASELINE_FPS, 2))
 
 
-def bench_e2e_epoch(ckpt_every=None):
+def bench_e2e_epoch(ckpt_every=None, skip_forward=False):
     """Run the FULL driver (config -> plan -> chunk runtime -> ledger) on a
     TIMIT-scale synthetic corpus and report the warm (2nd) epoch time as
     parsed from res.res — the end-to-end number comparable to the
     reference's res.res epoch traces.  `ckpt_every` sets the rolling-
-    checkpoint cadence (None = per chunk, the reference default)."""
+    checkpoint cadence (None = per chunk, the reference default);
+    `skip_forward` drops the posterior-emission stage (used by the
+    ckpt-cadence A/B, which only needs the train epochs)."""
     import re
     import shutil
     import sys
@@ -782,6 +878,9 @@ def bench_e2e_epoch(ckpt_every=None):
         ("ligru_act", "relu,relu,relu,relu,relu"),
     ):
         text = re.sub(rf"^{field} = .*$", f"{field} = {value}", text,
+                      count=1, flags=re.M)
+    if skip_forward:
+        text = re.sub(r"^forward_with = .*$", "forward_with =", text,
                       count=1, flags=re.M)
     open(cfg, "w").write(text)
     # the driver's progress lines stay out of the bench stdout (which must
@@ -846,12 +945,16 @@ def bench_e2e_epoch(ckpt_every=None):
             "forward_s": fwd_secs}
 
 
-def bench_soak_epoch():
+def bench_soak_epoch(budget_s: int):
     """Librispeech-100h-scale soak: 90k train utts (~26M frames, 40-dim,
     1944 classes) through the FULL driver — train + valid + phase ledger +
     async ckpt (cadence 8) + posterior-emission forward over a 1k-utt test
     split — warm (2nd) epoch reported with phases (VERDICT r3 #6).
-    Scale knobs: TPUKALDI_SOAK_UTTS / TPUKALDI_SOAK_CHUNKS."""
+
+    Runs under `budget_s`; on a timeout the COMPLETED epochs (or, failing
+    that, the chunk ledger) are still parsed so the soak is on the record
+    whatever happens (VERDICT r4 #1).  Scale knobs: TPUKALDI_SOAK_UTTS /
+    TPUKALDI_SOAK_CHUNKS."""
     import re
     import shutil
     import sys
@@ -867,6 +970,12 @@ def bench_soak_epoch():
     )
     marker = os.path.join(cache, ".complete")
     if not os.path.exists(marker):
+        # generating ~4 GB of ark takes minutes — only worth starting with
+        # real headroom; the corpus is cached across bench runs
+        if budget_s < 600:
+            print("[bench] soak corpus not cached and budget too small to "
+                  "generate it; soak skipped", file=sys.stderr)
+            return None
         shutil.rmtree(cache, ignore_errors=True)
         generate_corpus(cache, n_utts=(n_train, 400, 1000), feat_dim=D,
                         n_classes=N_CD, min_len=150, max_len=430, seed=11)
@@ -893,44 +1002,157 @@ def bench_soak_epoch():
 
     prev = os.environ.get("TPUKALDI_CKPT_EVERY")
     os.environ["TPUKALDI_CKPT_EVERY"] = "8"
+    timed_out = False
     try:
         from tpukaldi.tools.run_exp import run_experiment
 
-        with open(os.path.join(out, "bench_driver.log"), "w") as logf, \
+        with _Budget(max(int(budget_s) - 30, 30), "soak driver"), \
+                open(os.path.join(out, "bench_driver.log"), "w") as logf, \
                 contextlib.redirect_stdout(logf):
             run_experiment(cfg)
+    except TimeoutError:
+        timed_out = True
+        print("[bench] soak driver hit its budget; emitting partial "
+              "results", file=sys.stderr)
     finally:
         if prev is None:
             os.environ.pop("TPUKALDI_CKPT_EVERY", None)
         else:
             os.environ["TPUKALDI_CKPT_EVERY"] = prev
-    lines = open(os.path.join(out, "res.res")).read().strip().splitlines()
-    warm = [l for l in lines if l.startswith("ep=1")][0]
-    epoch_s = float(re.search(r"time\(s\)=(\d+)", warm).group(1))
-    n_frames = sum(
-        int(m.group(1))
-        for m in re.finditer(r"frames=(\d+)", _cat_infos(out, "train_.*ep1"))
+    try:
+        res_path = os.path.join(out, "res.res")
+        lines = (open(res_path).read().strip().splitlines()
+                 if os.path.exists(res_path) else [])
+        # prefer the warm (2nd) epoch; a timed-out run may only have ep=0
+        epoch_s = None
+        best_ep = None
+        for ep in (1, 0):
+            hit = [l for l in lines if l.startswith(f"ep={ep} ")]
+            if hit:
+                epoch_s = float(re.search(r"time\(s\)=(\d+)", hit[0]).group(1))
+                best_ep = ep
+                break
+        if epoch_s is None:
+            # no epoch completed: chunk-ledger partials
+            info = _cat_infos(out, "train_")
+            frames = sum(int(m.group(1))
+                         for m in re.finditer(r"frames=(\d+)", info))
+            secs = sum(float(m.group(1)) for m in re.finditer(
+                r"elapsed_time_chunk=([\d.]+)", info))
+            return {"partial_fps": frames / secs} if secs else None
+        n_frames = sum(
+            int(m.group(1))
+            for m in re.finditer(
+                r"frames=(\d+)", _cat_infos(out, f"train_.*ep{best_ep}"))
+        )
+        phases = {}
+        phase_lines = [
+            l for l in lines if l.startswith(f"phases ep={best_ep} ")]
+        if phase_lines:
+            phases = {
+                k: float(v)
+                for k, v in re.findall(r"(\w+)=([\d.]+)", phase_lines[-1])
+                if k != "ep"
+            }
+        fwd_info = _cat_infos(out, "forward_")
+        fwd_frames = sum(
+            int(m.group(1)) for m in re.finditer(r"frames=(\d+)", fwd_info))
+        fwd_secs = sum(
+            float(m.group(1))
+            for m in re.finditer(r"elapsed_time_chunk=([\d.]+)", fwd_info))
+        return {"epoch_s": max(epoch_s, 1.0),
+                "fps": n_frames / max(epoch_s, 1.0),
+                "n_frames": n_frames,
+                "phases": phases,
+                "partial": timed_out or best_ep == 0,
+                "n_epochs_done": best_ep + 1,
+                "forward_fps": fwd_frames / fwd_secs if fwd_secs else None}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def bench_e2e_step_rate():
+    """Device step throughput at the e2e driver's REAL shapes (bucketed
+    T in {200..500}, B=8, recipe liGRU) with one chunk's batches resident —
+    the number that turns e2e_phase_drain_compute into frames / rate
+    (VERDICT r4 #6)."""
+    import re
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tpukaldi.config import load_config
+    from tpukaldi.data.synth import load_corpus, write_cfg
+    from tpukaldi.plan.planner import build_plan
+    from tpukaldi.train.chunk_runtime import ChunkRuntime
+
+    cache = os.environ.get(
+        "TPUKALDI_BENCH_CORPUS", "/tmp/tpukaldi_bench_corpus_v1"
     )
-    phases = {}
-    phase_lines = [l for l in lines if l.startswith("phases ep=1 ")]
-    if phase_lines:
-        phases = {
-            k: float(v)
-            for k, v in re.findall(r"(\w+)=([\d.]+)", phase_lines[-1])
-            if k != "ep"
-        }
-    fwd_info = _cat_infos(out, "forward_")
-    fwd_frames = sum(
-        int(m.group(1)) for m in re.finditer(r"frames=(\d+)", fwd_info))
-    fwd_secs = sum(
-        float(m.group(1))
-        for m in re.finditer(r"elapsed_time_chunk=([\d.]+)", fwd_info))
+    if not os.path.exists(os.path.join(cache, ".complete")):
+        raise TimeoutError("bench corpus not cached (e2e section skipped?)")
+    corpus = load_corpus(cache)
+    out = tempfile.mkdtemp(prefix="tpukaldi_steprate_")
+    cfg = write_cfg(corpus, out, arch="liGRU",
+                    hidden="550,550,550,550,550", n_epochs=1, n_chunks=5,
+                    batch_size=B, cw=0, lr=0.0004)
+    text = open(cfg).read()
+    for field, value in (
+        ("ligru_drop", "0.2,0.2,0.2,0.2,0.2"),
+        ("ligru_use_laynorm", "False,False,False,False,False"),
+        ("ligru_use_batchnorm", "True,True,True,True,True"),
+        ("ligru_act", "relu,relu,relu,relu,relu"),
+    ):
+        text = re.sub(rf"^{field} = .*$", f"{field} = {value}", text,
+                      count=1, flags=re.M)
+    open(cfg, "w").write(text)
+    exp = load_config(cfg, [])
+    plan = build_plan(exp)
+    rt = ChunkRuntime(exp)
+    task = [t for t in plan.epochs[0].tasks if t.phase == "train"][0]
+    chunk = rt.load_task_chunk(
+        task, exp.batches.msl_for_phase("train", 0))
+    first = next(rt._batches(chunk, B, False, task.seed), None)
+    from tpukaldi.data.device_cache import IdxBatch
+
+    if isinstance(first, IdxBatch):
+        f0, l0 = rt.device_cache.assemble(chunk, first.fea_idx,
+                                          first.lab_idx)
+        rt.ensure_initialized(chunk, f0, l0)
+    else:
+        rt.ensure_initialized(chunk, first.feats, first.labs)
+    batches = list(rt._batches(chunk, B, True, task.seed))
+    key = jax.random.key(0)
+    step = rt._train_step
+
+    def run_epoch():
+        frames = 0
+        p, s, o = rt.params, rt.batch_stats, rt.opt_states
+        t0 = time.perf_counter()
+        for i, b in enumerate(batches):
+            if isinstance(b, IdxBatch):
+                f, l = rt.device_cache.assemble(chunk, b.fea_idx, b.lab_idx)
+                nv = jnp.asarray(b.n_valid_t, jnp.int32)
+            else:
+                f = jnp.asarray(b.feats)
+                l = jnp.asarray(b.labs)
+                nv = jnp.asarray(b.n_valid_t or b.feats.shape[0], jnp.int32)
+            p, s, o, loss, err = step(
+                p, s, o, f, l, jax.random.fold_in(key, i), nv)
+            frames += f.shape[0] * f.shape[1]
+        jax.device_get(loss)
+        rt.params, rt.batch_stats, rt.opt_states = p, s, o
+        return frames, time.perf_counter() - t0
+
+    run_epoch()  # compile warmup for every bucket shape
+    best = 0.0
+    for _ in range(2):
+        frames, dt = run_epoch()
+        best = max(best, frames / dt)
+    import shutil
+
     shutil.rmtree(out, ignore_errors=True)
-    return {"epoch_s": max(epoch_s, 1.0),
-            "fps": n_frames / max(epoch_s, 1.0),
-            "n_frames": n_frames,
-            "phases": phases,
-            "forward_fps": fwd_frames / fwd_secs if fwd_secs else None}
+    return best
 
 
 def _cat_infos(out, pattern):

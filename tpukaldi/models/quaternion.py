@@ -233,6 +233,12 @@ class QLSTM(nn.Module):
                 )
                 kernels.append(hamilton_kernel(w[0], w[1], w[2], w[3]))
             u_all = jnp.concatenate(kernels, axis=1)  # (H, 4H)
+            from ..kernels._common import record_dispatch
+
+            # the Hamilton-dense U at recipe H=1024 is 16 MB (+16 MB dU) —
+            # past the fused-kernel VMEM budget, so the recurrence runs as
+            # a lax.scan with one (B,H)x(H,4H) MXU matmul per step
+            record_dispatch("qlstm", "lax_scan_hamilton", Bp, hidden)
 
             def step(state, g_t, u_all=u_all, act=act, drop_mask=drop_mask,
                      hidden=hidden):

@@ -823,14 +823,12 @@ class ChunkRuntime:
             # chunks keep the padded layout (output T is model-derived)
             use_pack = not chunk.rates_differ and _os.environ.get(
                 "TPUKALDI_FORWARD_PACK", "1") != "0"
-            _CAPS = (256, 512, 1024, 1536, 2048, 3072, 4096, 6144,
-                     8192, 12288, 16384, 24576, 32768)
-
             def _cap_for(total):
-                for c in _CAPS:
-                    if total <= c:
-                        return c
-                return int(np.ceil(total / 8192) * 8192)
+                # 1 KiB-row granularity: utterances are length-sorted, so
+                # consecutive batches share cap shapes (few compiles) while
+                # the packed D2H overshoot stays <= 1024 rows (~10-20%
+                # padding vs up to +32% with coarse power-of-two caps)
+                return max(int(np.ceil(total / 1024)) * 1024, 256)
 
             def _put(item):
                 # werr-aware put: a dead writer never drains the bounded
