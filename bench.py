@@ -209,10 +209,13 @@ def _dropout_key(seed):
     return jax.random.key(seed, impl=impl)
 
 
-def measure_train_fps(body, head, n_out, x, iters=10, windows=2, warmup=2):
+def measure_train_fps(body, head, n_out, x, iters=10, windows=2, warmup=2,
+                      compute_dtype=None):
     """frames/s of a jitted sgd train step on body+softmax-head; `x` is the
     recipe-shaped input ((T,B,D) seq or (B,D) frame mode); frames = rows of
-    the flattened head input per step."""
+    the flattened head input per step.  `compute_dtype` mirrors the
+    production bf16 mode (train/step.py _cast_compute: f32 master params,
+    exempted sinc band params, f32-pinned reductions in the models)."""
     rng = np.random.default_rng(0)
     vb = body.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(9)},
@@ -234,6 +237,10 @@ def measure_train_fps(body, head, n_out, x, iters=10, windows=2, warmup=2):
     opt = tx.init(params)
 
     def loss_fn(params, stats, x, y, key):
+        if compute_dtype is not None:
+            from tpukaldi.train.step import _cast_compute
+
+            params, x = _cast_compute(params, x, compute_dtype)
         vars_b = {"params": params["body"]}
         mut = []
         if stats["body"]:
@@ -400,6 +407,11 @@ def _zoo_sincnet():
     fps = measure_train_fps(sinc, head, N_CD, x, iters=30, windows=3,
                             warmup=3)
     yield ("train_frames_per_sec_per_chip_sincnet_raw", fps)
+    # production bf16 compute mode (sinc band-edge params stay f32 via the
+    # _CAST_EXEMPT list; filter synthesis + norms pinned f32 in-model)
+    fps16 = measure_train_fps(sinc, head, N_CD, x, iters=30, windows=3,
+                              warmup=3, compute_dtype=jnp.bfloat16)
+    yield ("train_frames_per_sec_per_chip_sincnet_raw_bf16", fps16)
 
 
 def _zoo_qlstm():
@@ -420,6 +432,12 @@ def _zoo_qlstm():
     x = jnp.asarray(rng.standard_normal((T, 16, 80)), jnp.float32)
     fps = measure_train_fps(qlstm, head, N_CD, x)
     yield ("train_frames_per_sec_per_chip_qlstm", fps)
+    # the production bf16 compute mode (train/step.py) on the same recipe:
+    # f32 master params, f32-pinned norm/softmax/cost reductions — the
+    # Hamilton-dense recurrence streams half the HBM bytes
+    fps16 = measure_train_fps(qlstm, head, N_CD, x,
+                              compute_dtype=jnp.bfloat16)
+    yield ("train_frames_per_sec_per_chip_qlstm_bf16", fps16)
 
 
 def _wait_for_tpu() -> bool:
@@ -880,7 +898,7 @@ def bench_e2e_epoch(ckpt_every=None, skip_forward=False):
         text = re.sub(rf"^{field} = .*$", f"{field} = {value}", text,
                       count=1, flags=re.M)
     if skip_forward:
-        text = re.sub(r"^forward_with = .*$", "forward_with =", text,
+        text = re.sub(r"^forward_with = .*$", "forward_with = none", text,
                       count=1, flags=re.M)
     open(cfg, "w").write(text)
     # the driver's progress lines stay out of the bench stdout (which must

@@ -246,3 +246,17 @@ def test_missing_dataset_field_is_config_error(tmp_path):
     bad.write_text(text)
     with pytest.raises(ConfigError, match="n_chunks"):
         load_config(str(bad))
+
+
+def test_forward_with_none_disables_forward(tmp_path):
+    """`forward_with = none` = train-only experiment (no posterior stage) —
+    the data_use analog of the reference's `lab_name = none` convention."""
+    path = make_cfg(tmp_path)
+    text = open(path).read().replace("forward_with = tr", "forward_with = none")
+    open(path, "w").write(text)
+    exp = C.load_config(path)
+    assert exp.forward_with == []
+    assert not exp.production
+    from tpukaldi.plan.planner import build_plan
+
+    assert build_plan(exp).forward_tasks == []

@@ -527,7 +527,13 @@ def load_config(
 
     train_with = config["data_use"]["train_with"].split(",")
     valid_with = config["data_use"]["valid_with"].split(",")
-    forward_with = config["data_use"]["forward_with"].split(",")
+    # `forward_with = none` disables the posterior-emission stage (the
+    # analog of the reference's `lab_name = none` convention): train-only
+    # experiments (e.g. pretraining a body for transfer) need no forward
+    forward_field = config["data_use"]["forward_with"].strip()
+    forward_with = (
+        [] if forward_field.lower() == "none" else forward_field.split(",")
+    )
     production = _detect_production(config, forward_with)
 
     # --- datasets
