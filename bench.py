@@ -210,12 +210,20 @@ def _dropout_key(seed):
 
 
 def measure_train_fps(body, head, n_out, x, iters=10, windows=2, warmup=2,
-                      compute_dtype=None):
+                      compute_dtype=None, fuse_k=None):
     """frames/s of a jitted sgd train step on body+softmax-head; `x` is the
     recipe-shaped input ((T,B,D) seq or (B,D) frame mode); frames = rows of
     the flattened head input per step.  `compute_dtype` mirrors the
     production bf16 mode (train/step.py _cast_compute: f32 master params,
-    exempted sinc band params, f32-pinned reductions in the models)."""
+    exempted sinc band params, f32-pinned reductions in the models).
+
+    `fuse_k` measures the production K-step-fused path
+    (train/step.py make_train_multistep — the DEFAULT on TPU,
+    TPUKALDI_MULTISTEP=8): K sequential optimizer steps in one lax.scan
+    dispatch.  On the tunneled chip each program launch costs ~3 ms of
+    fixed overhead (measured: a 52 MFLOP MLP step and the full 633 MFLOP
+    SincNet step both pin near that floor), so the per-launch row
+    understates what the production runtime actually achieves."""
     rng = np.random.default_rng(0)
     vb = body.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(9)},
@@ -273,29 +281,54 @@ def measure_train_fps(body, head, n_out, x, iters=10, windows=2, warmup=2,
             "head": new_head.get("batch_stats", stats["head"]),
         }
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, stats, opt, x, y, key):
+    def one_step(params, stats, opt, x, y, key):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, stats, x, y, key
         )
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), new_stats, opt, loss
 
+    if fuse_k:
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(params, stats, opt, x, y, keys_k):
+            def body(carry, key):
+                p, s, o = carry
+                p, s, o, loss = one_step(p, s, o, x, y, key)
+                return (p, s, o), loss
+
+            (params, stats, opt), losses = jax.lax.scan(
+                body, (params, stats, opt), keys_k
+            )
+            return params, stats, opt, losses[-1]
+    else:
+        step = jax.jit(one_step, donate_argnums=(0, 1, 2))
+
     key = _dropout_key(0)
+
+    def advance(params, stats, opt, key):
+        if fuse_k:
+            key, sub = jax.random.split(key)
+            keys_k = jax.vmap(
+                lambda j: jax.random.fold_in(sub, j)
+            )(jnp.arange(fuse_k))
+            params, stats, opt, loss = step(params, stats, opt, x, y, keys_k)
+        else:
+            key, sub = jax.random.split(key)
+            params, stats, opt, loss = step(params, stats, opt, x, y, sub)
+        return params, stats, opt, loss, key
+
     for _ in range(warmup):
-        key, sub = jax.random.split(key)
-        params, stats, opt, loss = step(params, stats, opt, x, y, sub)
+        params, stats, opt, loss, key = advance(params, stats, opt, key)
     float(jax.device_get(loss))
     best_dt = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
-            key, sub = jax.random.split(key)
-            params, stats, opt, loss = step(params, stats, opt, x, y, sub)
+            params, stats, opt, loss, key = advance(params, stats, opt, key)
         float(jax.device_get(loss))
         best_dt = min(best_dt, time.perf_counter() - t0)
     frames = x.shape[0] * (x.shape[1] if x.ndim == 3 else 1)
-    return frames * iters / best_dt
+    return frames * (fuse_k or 1) * iters / best_dt
 
 
 def bench_zoo():
@@ -339,7 +372,8 @@ def _zoo_mlp():
     mlp_head = MLP(options=_mlp_opts(str(N_CD), "softmax"),
                    inp_dim=mlp_body.out_dim)
     x = jnp.asarray(rng.standard_normal((128, 143)), jnp.float32)
-    fps = measure_train_fps(mlp_body, mlp_head, N_CD, x, iters=50)
+    fps = measure_train_fps(mlp_body, mlp_head, N_CD, x, iters=12,
+                            fuse_k=8)
     yield ("train_frames_per_sec_per_chip_mlp_mfcc", fps)
 
 
@@ -368,7 +402,8 @@ def _zoo_lstm_gru():
         head = MLP(options=_mlp_opts(str(N_CD), "softmax"),
                    inp_dim=body.out_dim)
         x = jnp.asarray(rng.standard_normal((T, B, D)), jnp.float32)
-        fps = measure_train_fps(body, head, N_CD, x)
+        fps = measure_train_fps(body, head, N_CD, x, iters=4, windows=3,
+                                fuse_k=8)
         yield (f"train_frames_per_sec_per_chip_{name}_fmllr", fps)
 
 
@@ -404,13 +439,14 @@ def _zoo_sincnet():
     x = jnp.asarray(rng.standard_normal((128, 3200)), jnp.float32)
     # 128-frame steps are dispatch-latency-prone over the tunnel; longer
     # windows amortize the RTT like the MLP row's iters=50
-    fps = measure_train_fps(sinc, head, N_CD, x, iters=30, windows=3,
-                            warmup=3)
+    fps = measure_train_fps(sinc, head, N_CD, x, iters=6, windows=3,
+                            warmup=2, fuse_k=8)
     yield ("train_frames_per_sec_per_chip_sincnet_raw", fps)
     # production bf16 compute mode (sinc band-edge params stay f32 via the
     # _CAST_EXEMPT list; filter synthesis + norms pinned f32 in-model)
-    fps16 = measure_train_fps(sinc, head, N_CD, x, iters=30, windows=3,
-                              warmup=3, compute_dtype=jnp.bfloat16)
+    fps16 = measure_train_fps(sinc, head, N_CD, x, iters=6, windows=3,
+                              warmup=2, compute_dtype=jnp.bfloat16,
+                              fuse_k=8)
     yield ("train_frames_per_sec_per_chip_sincnet_raw_bf16", fps16)
 
 
@@ -430,13 +466,14 @@ def _zoo_qlstm():
     )
     head = MLP(options=_mlp_opts(str(N_CD), "softmax"), inp_dim=qlstm.out_dim)
     x = jnp.asarray(rng.standard_normal((T, 16, 80)), jnp.float32)
-    fps = measure_train_fps(qlstm, head, N_CD, x)
+    fps = measure_train_fps(qlstm, head, N_CD, x, iters=3, windows=3,
+                            fuse_k=8)
     yield ("train_frames_per_sec_per_chip_qlstm", fps)
     # the production bf16 compute mode (train/step.py) on the same recipe:
     # f32 master params, f32-pinned norm/softmax/cost reductions — the
     # Hamilton-dense recurrence streams half the HBM bytes
-    fps16 = measure_train_fps(qlstm, head, N_CD, x,
-                              compute_dtype=jnp.bfloat16)
+    fps16 = measure_train_fps(qlstm, head, N_CD, x, iters=3, windows=3,
+                              fuse_k=8, compute_dtype=jnp.bfloat16)
     yield ("train_frames_per_sec_per_chip_qlstm_bf16", fps16)
 
 
@@ -541,23 +578,49 @@ def main():
         return nll_cd + 1.0 * nll_mono, upd["batch_stats"]
 
     # donate state buffers like the production train step (train/step.py):
-    # in-place param/opt updates avoid a full extra copy of the state in HBM
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, stats, opt, x, y_cd, y_mono, key):
+    # in-place param/opt updates avoid a full extra copy of the state in
+    # HBM.  K sequential steps fuse into one lax.scan dispatch, mirroring
+    # the production chunk runtime's default multistep path on TPU
+    # (TPUKALDI_MULTISTEP=8) — the per-program launch overhead of the
+    # tunneled chip is amortized exactly as production amortizes it.
+    K = int(os.environ.get("TPUKALDI_BENCH_FUSE_K", "8"))
+
+    def one_step(params, stats, opt, x, y_cd, y_mono, key):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, stats, x, y_cd, y_mono, key
         )
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), new_stats, opt, loss
 
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step_k(params, stats, opt, x, y_cd, y_mono, keys_k):
+        def body(carry, key):
+            p, s, o = carry
+            p, s, o, loss = one_step(p, s, o, x, y_cd, y_mono, key)
+            return (p, s, o), loss
+
+        (params, stats, opt), losses = jax.lax.scan(
+            body, (params, stats, opt), keys_k
+        )
+        return params, stats, opt, losses[-1]
+
     key = _dropout_key(0)
+
+    def advance(params, stats, opt, key):
+        key, sub = jax.random.split(key)
+        keys_k = jax.vmap(
+            lambda j: jax.random.fold_in(sub, j)
+        )(jnp.arange(K))
+        params, stats, opt, loss = step_k(
+            params, stats, opt, x, y_cd, y_mono, keys_k)
+        return params, stats, opt, loss, key
+
     try:
         with _Budget(int(os.environ.get(
                 "TPUKALDI_BENCH_HEADLINE_BUDGET", "1500")), "headline"):
             for _ in range(WARMUP):
-                key, sub = jax.random.split(key)
-                params, stats, opt, loss = step(
-                    params, stats, opt, x, y_cd, y_mono, sub)
+                params, stats, opt, loss, key = advance(
+                    params, stats, opt, key)
             # device_get forces a real host sync (block_until_ready alone
             # was observed not to drain the async dispatch queue on axon)
             float(jax.device_get(loss))
@@ -576,14 +639,11 @@ def main():
     for _ in range(WINDOWS):
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            key, sub = jax.random.split(key)
-            params, stats, opt, loss = step(
-                params, stats, opt, x, y_cd, y_mono, sub
-            )
+            params, stats, opt, loss, key = advance(params, stats, opt, key)
         float(jax.device_get(loss))
         best_dt = min(best_dt, time.perf_counter() - t0)
 
-    fps = T * B * ITERS / best_dt
+    fps = T * B * K * ITERS / best_dt
 
     # ---- MFU: analytic model FLOPs vs chip peak --------------------------
     # forward matmul FLOPs of the flagship step (elementwise ignored):
@@ -600,7 +660,7 @@ def main():
         d_in = 2 * H  # bidir concat feeds the next layer
     fwd += 2 * T * B * (2 * H) * N_CD + 2 * T * B * (2 * H) * N_MONO
     step_flops = 3 * fwd  # fwd + ~2x for backward (remat adds ~1 U matmul)
-    achieved = step_flops * ITERS / best_dt
+    achieved = step_flops * K * ITERS / best_dt
     # v5e public peak: 197 TFLOP/s bf16 (f32 accumulate) — we run f32
     # matmuls, so this denominator is the conservative (lower-MFU) choice
     PEAK = 197e12

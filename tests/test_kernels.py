@@ -404,3 +404,61 @@ def test_conv1d_pool_ln_act_matches_composed(shape, relu):
     for name, a, b in zip("x w bias gt bt".split(), gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_xla_composed_backward_matches_pallas_grads():
+    """TPUKALDI_CONV_BWD=xla composes the layer-0 backward from jax.vjp of
+    the XLA reference forward; its gradients must match the hand-written
+    Pallas backward (interpret mode) to float rounding."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpukaldi.kernels import conv1d as c1
+
+    rng = np.random.default_rng(3)
+    N, L, K, O, P = 4, 512, 129, 128, 3
+    x = jnp.asarray(rng.standard_normal((N, L)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, O)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((O,)) * 0.1, jnp.float32)
+    M = (L - K + 1) // P
+    gt = jnp.asarray(rng.standard_normal((M, O)) * 0.5 + 1.0, jnp.float32)
+    bt = jnp.asarray(rng.standard_normal((M, O)) * 0.1, jnp.float32)
+
+    def f_pallas(x, w, gt, bt):
+        return (c1.conv1d_pool_ln_act(
+            x, w, b, gt, bt, P, 1e-5, True, True, "highest") ** 2).sum()
+
+    def f_ref(x, w, gt, bt):
+        return (c1._xla_conv_pool_ln_act(
+            x, w, b, gt, bt, P, 1e-5, True, "highest") ** 2).sum()
+
+    # the reference forward itself must match the kernel forward
+    np.testing.assert_allclose(
+        np.asarray(c1.conv1d_pool_ln_act(x, w, b, gt, bt, P, 1e-5, True,
+                                         True, "highest")),
+        np.asarray(c1._xla_conv_pool_ln_act(x, w, b, gt, bt, P, 1e-5, True,
+                                            "highest")),
+        rtol=1e-5, atol=1e-5)
+    gp = jax.grad(f_pallas, argnums=(0, 1, 2, 3))(x, w, gt, bt)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2, 3))(x, w, gt, bt)
+    for a, b_ in zip(gp, gr):
+        scale = max(float(jnp.abs(b_).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b_) / scale,
+                                   rtol=2e-4, atol=2e-4)
+
+    # plain conv+pool variant
+    def g_pallas(x, w):
+        return (c1.conv1d_pool(x, w, P, True, "highest") ** 2).sum()
+
+    def g_ref(x, w):
+        return (c1._xla_conv_pool(x, w, P, "highest") ** 2).sum()
+
+    gp = jax.grad(g_pallas, argnums=(0, 1))(x, w)
+    gr = jax.grad(g_ref, argnums=(0, 1))(x, w)
+    for a, b_ in zip(gp, gr):
+        scale = max(float(jnp.abs(b_).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b_) / scale,
+                                   rtol=2e-4, atol=2e-4)

@@ -427,6 +427,35 @@ def conv1d_pool(x, w, pool: int, interpret: bool = False,
     return y
 
 
+def _bwd_impl() -> str:
+    """TPUKALDI_CONV_BWD: 'pallas' (default) keeps the hand-written
+    reverse kernels; 'xla' composes the backward from jax.vjp of the XLA
+    reference forward instead.  MEASURED at recipe shapes inside the full
+    K=8-fused SincNet step: pallas-bwd 4.19 ms/step vs xla-bwd 10.75 —
+    XLA's transpose convs are 2.6x slower in context.  (A scan-invariant
+    microbenchmark initially suggested the opposite because XLA hoisted
+    the whole gradient out of the timing scan — kept here as a warning:
+    thread a carry through anything you time under lax.scan.)"""
+    import os
+
+    return os.environ.get("TPUKALDI_CONV_BWD", "pallas").strip().lower()
+
+
+def _xla_conv_pool(x, w, pool, precision="default"):
+    """Plain-XLA reference of the fused forward: valid C=1 conv + max-pool
+    (torch floor semantics).  Used by the XLA-composed backward and as the
+    gradient-parity reference."""
+    N, L = x.shape
+    K, O = w.shape
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
+    c = jax.lax.conv_general_dilated(
+        x[:, :, None], w[:, None, :], (1,), "VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"), precision=prec,
+    )
+    M = (L - K + 1) // pool
+    return c[:, : M * pool].reshape(N, M, pool, O).max(axis=2)
+
+
 def _conv_pool_vjp_fwd(x, w, pool, interpret, precision):
     y, idx = _conv_pool_fwd(x, w, pool=pool, interpret=interpret,
                             precision=precision)
@@ -437,6 +466,11 @@ def _conv_pool_vjp_fwd(x, w, pool, interpret, precision):
 
 def _conv_pool_vjp_bwd(pool, interpret, precision, res, dy):
     x, idx, w = res
+    if not interpret and _bwd_impl() == "xla":
+        _, vjp = jax.vjp(
+            lambda xx, ww: _xla_conv_pool(xx, ww, pool, precision), x, w
+        )
+        return vjp(dy)
     dw, dx = _conv_pool_bwd(x, dy, idx, w, K=w.shape[0], pool=pool,
                             interpret=interpret, precision=precision)
     return dx, dw
@@ -815,8 +849,33 @@ def _fused_vjp_fwd(x, w, bias, gt, bt, pool, eps, relu, interpret,
     return out, (x, w, bias, gt, bt, idx, stats)
 
 
+def _xla_conv_pool_ln_act(x, w, bias, gt, bt, pool, eps, relu, precision):
+    """Plain-XLA reference of the whole fused layer-0 chain: conv + pool +
+    bias + laynorm over pooled time per (window, filter) with the
+    reference's unbiased-std + eps-on-std quirk + optional relu — the
+    exact math of _fused_fwd_kernel."""
+    y = _xla_conv_pool(x, w, pool, precision) + bias[None, None, :]
+    M = y.shape[1]
+    mu = jnp.mean(y, axis=1, keepdims=True)
+    c = y - mu
+    s = jnp.sqrt(jnp.sum(c * c, axis=1, keepdims=True) / max(M - 1, 1))
+    z = (c / (s + eps)) * gt[None, :, :] + bt[None, :, :]
+    return jnp.maximum(z, 0.0) if relu else z
+
+
 def _fused_vjp_bwd(pool, eps, relu, interpret, precision, res, dz):
     x, w, bias, gt, bt, idx, stats = res
+    if not interpret and _bwd_impl() == "xla":
+        _, vjp = jax.vjp(
+            lambda xx, ww, gg, bb: _xla_conv_pool_ln_act(
+                xx, ww, bias, gg, bb, pool, eps, relu, precision),
+            x, w, gt, bt,
+        )
+        dx, dw, dg, db = vjp(dz)
+        # dbias is EXACTLY zero analytically (the laynorm mean makes the
+        # conv bias inert); composing through autodiff would only produce
+        # ~1e-7 fp noise for the same quantity
+        return dx, dw, jnp.zeros_like(bias), dg, db
     dx, dw, dbias, dg, db = _fused_bwd(
         x, dz, idx, stats, w, bias, gt, bt, K=w.shape[0], pool=pool,
         eps=eps, relu=relu, interpret=interpret, precision=precision)

@@ -217,13 +217,34 @@ def _ligru_pallas_bwd_impl(ff, hp, g, u, mask, *, interpret=False):
     return dff[:T], du, dmask
 
 
+def _bwd_fits_vmem(B, H, tb=TIME_BLOCK, budget=15 * 2**20):
+    """Scoped-VMEM estimate calibrated against Mosaic's own accounting:
+    at (tb=16, B=32, H=550) the compiler reports 17.78 MB on a 16 MB
+    limit, of which resident U+dU is 16H^2 bytes (4.84 MB) — the
+    remainder scales with tb*B*H at ~46 bytes per unit.  The flagship
+    (B=16 after the bidir flip-concat, H=550) sits at ~11.3 MB and keeps
+    the fused kernel; larger shapes fall back to the hoisted scan instead
+    of hard-failing with a compile-time OOM (measured failure mode)."""
+    resident = 16 * H * H
+    scaling = 46 * tb * B * H
+    return resident + scaling < budget
+
+
 def _bwd(interpret, res, g):
-    """Fused pallas reverse-time backward (scan fallback in
-    `_bwd_scan` for parity tests)."""
+    """Fused pallas reverse-time backward (hoisted-scan fallback in
+    `_bwd_scan` for large shapes and parity tests)."""
     ff, u, mask, h_seq = res
     T, B, H = h_seq.shape
     from tpukaldi.kernels._common import record_dispatch
+    from tpukaldi.kernels._common import log_vmem_fallback
 
+    if not interpret and not _bwd_fits_vmem(B, H):
+        log_vmem_fallback("ligru", B, H)
+        record_dispatch("ligru", "hoisted_scan_bwd", B, H)
+        grads = _bwd_scan(interpret, res, g)
+        return tuple(
+            gr.astype(p.dtype) for gr, p in zip(grads, (ff, u, mask))
+        )
     record_dispatch("ligru", "fused_pallas_bwd", B, H)
     h_prev = jnp.concatenate(
         [jnp.zeros((1, B, H), ff.dtype), h_seq[:-1]], axis=0

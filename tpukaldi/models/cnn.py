@@ -292,6 +292,11 @@ class _ConvStack(nn.Module):
         use_kernel = impl == "pallas" or (
             impl == "auto" and on_tpu
             and kernel_supported(len_filt[0], n_filt[0])
+            # bf16 compute mode: Mosaic's strided rotate is 32-bit-only
+            # (measured r4; reconfirmed r5 — bf16 input hard-fails the
+            # kernel compile), so the fused layer-0 kernel is f32-input
+            # only and bf16 runs take the XLA conv path for layer 0
+            and x.dtype == jnp.float32
         )
         N = x.shape[0]
         x = x.reshape(N, self.inp_dim, 1) if cl else x.reshape(N, 1, self.inp_dim)
