@@ -256,9 +256,18 @@ class QLSTM(nn.Module):
                 return (h, c), h
 
             z = jnp.zeros((Bp, hidden), dtype=x.dtype)
+            # TPUKALDI_QLSTM_UNROLL: measured at recipe shapes (T=500,
+            # B=16, H=1024): unroll=4 gains +4.9% in f32 but LOSES 9% in
+            # the bf16 compute mode and unroll=8 loses everywhere
+            # (VMEM/register pressure around the 4H-wide gate block), so
+            # the default stays 1; the knob remains for A/B
+            import os as _os
+
+            _unroll = int(_os.environ.get("TPUKALDI_QLSTM_UNROLL", "1"))
             _, h = jax.lax.scan(
                 step, (z, z),
                 (gates["f"], gates["i"], gates["o"], gates["c"]),
+                unroll=_unroll,
             )
             if bidir:
                 h_f = h[:, : Bp // 2]
