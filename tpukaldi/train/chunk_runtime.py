@@ -685,10 +685,11 @@ class ChunkRuntime:
         # batched bucketed forward (TPU analog of the reference's per-chunk
         # forwarding process pool, run_exp.py:478-498); rate-differing
         # (raw-wave) utterances keep batch 1 to preserve the window relation
-        # TPU default 16: the tunneled link pays a per-RPC latency on every
-        # h2d/d2h, so fewer, larger batches win (padding ratio is unchanged
-        # — batches never straddle buckets)
-        default_bs = "16" if jax.default_backend() == "tpu" else "8"
+        # TPU default 32: the tunneled link pays a per-RPC latency on every
+        # h2d/d2h, so fewer, larger batches win; with on-device packing the
+        # padding ratio is unchanged.  Measured sweep at recipe shapes
+        # (depth x batch): 16/3=2659, 32/3=3686, 16/6=4274, 32/6=4489 f/s
+        default_bs = "32" if jax.default_backend() == "tpu" else "8"
         fwd_bs = int(_os.environ.get("TPUKALDI_FORWARD_BATCH", default_bs))
         if chunk.rates_differ:
             fwd_bs = 1
@@ -816,8 +817,11 @@ class ChunkRuntime:
             # synchronous np.asarray and the next dispatch (round-4: the
             # stage achieved ~21% of the measured link ceiling)
             pending: "deque" = deque()
+            # depth 6 measured 1.6x depth 3 at recipe shapes (six packed
+            # posterior blocks in flight keep the link saturated; HBM cost
+            # <= depth x ~64 MB)
             depth = max(int(_os.environ.get(
-                "TPUKALDI_FORWARD_PIPELINE_DEPTH", "3")), 1)
+                "TPUKALDI_FORWARD_PIPELINE_DEPTH", "6")), 1)
             # on-device packing: gather real frames contiguously before the
             # D2H (train/step.py make_forward_step pack_idx); rate-differing
             # chunks keep the padded layout (output T is model-derived)
