@@ -462,3 +462,102 @@ def test_xla_composed_backward_matches_pallas_grads():
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b_) / scale,
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_lstm_lean_kernel_forward_matches_bf16_product_scan():
+    """Resident-bf16-U lean LSTM kernel (kernels/lstm.py lean section):
+    forward must equal a scan whose operands are rounded to bf16 before
+    each recurrent matmul — the products XLA's DEFAULT TPU matmul
+    precision performs.  In interpret mode bf16 x bf16 products are exact
+    in f32, so the comparison is tight."""
+    from tpukaldi.kernels.lstm import lstm_recurrence_lean
+
+    rng = np.random.default_rng(17)
+    ff = jnp.asarray(rng.standard_normal((T, B, 4 * H)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((H, 4 * H)) * 0.3, jnp.float32)
+    mask = jnp.asarray(rng.random((B, H)) > 0.2, jnp.float32)
+    ub = u.astype(jnp.bfloat16).astype(jnp.float32)
+
+    def scan_bf16(ff, u, mask):
+        Hh = ff.shape[-1] // 4
+
+        def step(state, ff_t):
+            h, c = state
+            r = h.astype(jnp.bfloat16).astype(jnp.float32) @ u
+            f = jax.nn.sigmoid(ff_t[:, :Hh] + r[:, :Hh])
+            i = jax.nn.sigmoid(ff_t[:, Hh:2 * Hh] + r[:, Hh:2 * Hh])
+            o = jax.nn.sigmoid(ff_t[:, 2 * Hh:3 * Hh] + r[:, 2 * Hh:3 * Hh])
+            cand = jnp.tanh(ff_t[:, 3 * Hh:] + r[:, 3 * Hh:])
+            c = i * cand * mask + f * c
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        z = jnp.zeros((ff.shape[1], Hh), ff.dtype)
+        _, h = jax.lax.scan(step, (z, z), ff)
+        return h
+
+    h_lean = lstm_recurrence_lean(ff, u, mask, True)
+    h_ref = scan_bf16(ff, ub, mask)
+    np.testing.assert_allclose(np.asarray(h_lean), np.asarray(h_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_lstm_lean_kernel_vjp_close_to_f32_scan():
+    """Lean-kernel gradients vs the full-f32 scan: the only deltas are
+    bf16 rounding of U / h / dA at the matmuls (DEFAULT-precision-family
+    arithmetic), so relative agreement at ~1e-2 is the contract."""
+    from tpukaldi.kernels.lstm import lstm_recurrence_lean, \
+        lstm_recurrence_scan
+
+    rng = np.random.default_rng(19)
+    ff = jnp.asarray(rng.standard_normal((T, B, 4 * H)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((H, 4 * H)) * 0.3, jnp.float32)
+    mask = jnp.asarray(rng.random((B, H)) > 0.2, jnp.float32)
+
+    g_lean = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(lstm_recurrence_lean(*a, True))),
+        argnums=(0, 1, 2))(ff, u, mask)
+    g_scan = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(lstm_recurrence_scan(*a))),
+        argnums=(0, 1, 2))(ff, u, mask)
+    for name, a, b in zip(("dff", "du", "dmask"), g_lean, g_scan):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=1e-2, atol=1e-2, err_msg=name)
+
+
+def test_lean_vmem_budget_and_recipe_fit():
+    """The QLSTM recipe shape (Bp=32 after bidir flip-concat, H=1024) must
+    ride the lean kernel — its f32 U (16 MB) is past the VMEM core but the
+    bf16 U (8 MB) fits; absurd shapes must still fall back."""
+    from tpukaldi.kernels.lstm import _bwd_fits_vmem, lean_fits_vmem
+
+    assert not _bwd_fits_vmem(32, 1024)  # why the lean variant exists
+    assert lean_fits_vmem(32, 1024)
+    assert lean_fits_vmem(16, 1024)
+    assert not lean_fits_vmem(32, 4096)
+
+
+def test_qlstm_fused_dispatch_matches_scan():
+    """QLSTM model output through the fused lean path (qlstm_impl=pallas,
+    interpret mode) vs the lax.scan Hamilton path (qlstm_impl=scan): the
+    recurrence is the same cell, so eval-mode outputs agree to bf16-product
+    rounding."""
+    from tpukaldi.models.quaternion import QLSTM
+
+    base = {
+        "lstm_lay": "16", "lstm_drop": "0.0", "lstm_bidir": "True",
+        "lstm_act": "tanh", "quaternion_init": "quaternion",
+        "autograd": "False",
+    }
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((T, B, 8)), jnp.float32)
+    m_scan = QLSTM(options={**base, "qlstm_impl": "scan"}, inp_dim=8)
+    v = m_scan.init({"params": jax.random.key(0)}, x, train=False)
+    m_pallas = QLSTM(options={**base, "qlstm_impl": "pallas"}, inp_dim=8)
+    y_scan = m_scan.apply(v, x, train=False)
+    y_pallas = m_pallas.apply(v, x, train=False)
+    assert y_pallas.shape == y_scan.shape == (T, B, 32)
+    np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_scan),
+                               rtol=5e-3, atol=5e-3)

@@ -261,13 +261,14 @@ ARCH_PROTOS: Dict[str, Proto] = {
 # extension fields beyond the reference schema; never required in cfgs
 # fusionRNN "batches" is injected at runtime by the reference, never
 # present in cfgs; our implementation does not need it
-OPTIONAL_FIELDS = {"ligru_impl", "lstm_impl", "gru_impl", "batches",
-                   "arch_grad_clip"} | {
+OPTIONAL_FIELDS = {"ligru_impl", "lstm_impl", "gru_impl", "qlstm_impl",
+                   "batches", "arch_grad_clip"} | {
     f"{p}_remat" for p in ("lstm", "gru", "rnn", "ligru", "minimalgru")
 }
 ARCH_PROTOS["liGRU.proto"]["proto"]["ligru_impl"] = "{auto,pallas,scan}"
 ARCH_PROTOS["LSTM.proto"]["proto"]["lstm_impl"] = "{auto,pallas,scan}"
 ARCH_PROTOS["GRU.proto"]["proto"]["gru_impl"] = "{auto,pallas,scan}"
+ARCH_PROTOS["QLSTM.proto"]["proto"]["qlstm_impl"] = "{auto,pallas,scan}"
 
 OPT_PROTOS: Dict[str, Proto] = {
     "sgd.proto": {

@@ -234,10 +234,43 @@ class QLSTM(nn.Module):
                 kernels.append(hamilton_kernel(w[0], w[1], w[2], w[3]))
             u_all = jnp.concatenate(kernels, axis=1)  # (H, 4H)
             from ..kernels._common import record_dispatch
+            from ..kernels.lstm import lean_fits_vmem, lstm_recurrence_lean
 
-            # the Hamilton-dense U at recipe H=1024 is 16 MB (+16 MB dU) —
-            # past the fused-kernel VMEM budget, so the recurrence runs as
-            # a lax.scan with one (B,H)x(H,4H) MXU matmul per step
+            # Once composed, the Hamilton-dense recurrence IS the zoo LSTM
+            # cell (f,i,o,c gate order, drop mask on the candidate —
+            # reference quaternion_neural_networks.py:120-141), so the
+            # tanh case rides the resident-bf16-U fused Pallas kernel: the
+            # f32 U at recipe H=1024 is 16 MB — past the VMEM core — but
+            # bf16 U (8 MB, the same products XLA's DEFAULT matmul
+            # precision multiplies anyway) stays resident, removing the
+            # 16 MB x T x lay HBM weight re-read that floored the scan at
+            # the v5e bandwidth (measured 43.5 ms/step f32 = the 819 GB/s
+            # floor exactly; see kernels/lstm.py lean section).
+            impl = o.get("qlstm_impl", "auto")
+            on_tpu = jax.default_backend() == "tpu"
+            use_fused = (
+                impl != "scan"
+                and acts[i] == "tanh"
+                and lean_fits_vmem(Bp, hidden)
+                and (on_tpu or impl == "pallas")
+            )
+            if use_fused:
+                record_dispatch("qlstm", "fused_pallas_leanu", Bp, hidden)
+                ff = jnp.concatenate(
+                    [gates[g] for g in "fioc"], axis=2
+                )  # (T, Bp, 4H)
+                mask2d = jnp.broadcast_to(
+                    drop_mask.astype(jnp.float32), (Bp, hidden)
+                )
+                h = lstm_recurrence_lean(
+                    ff, u_all, mask2d, not on_tpu
+                ).astype(x.dtype)
+                if bidir:
+                    h_f = h[:, : Bp // 2]
+                    h_b = _reverse_time(h[:, Bp // 2 :], lengths)
+                    h = jnp.concatenate([h_f, h_b], axis=2)
+                x = h
+                continue
             record_dispatch("qlstm", "lax_scan_hamilton", Bp, hidden)
 
             def step(state, g_t, u_all=u_all, act=act, drop_mask=drop_mask,

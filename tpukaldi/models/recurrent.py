@@ -391,15 +391,23 @@ class LSTM(_RecurrentBase):
         impl = self.options.get("lstm_impl", "auto")
         if impl == "scan" or act_name != "tanh" or use_ln:
             return None
-        if not self._kernel_fits_vmem(ff, u):
-            return None
         on_tpu = jax.default_backend() == "tpu"
         if impl == "auto" and not on_tpu:
             return None
-        from ..kernels.lstm import lstm_recurrence
-
         mask = jnp.broadcast_to(drop_mask, (ff.shape[1], ff.shape[2] // 4))
-        return lstm_recurrence(ff, u, mask, not on_tpu)
+        if self._kernel_fits_vmem(ff, u):
+            from ..kernels.lstm import lstm_recurrence
+
+            return lstm_recurrence(ff, u, mask, not on_tpu)
+        # large H: the f32 kernel's resident U + dU exceed VMEM, but the
+        # resident-bf16-U lean variant (same products as DEFAULT-precision
+        # matmuls; dU contracted outside) may still fit — an order of
+        # magnitude over the HBM-floored scan (kernels/lstm.py lean notes)
+        from ..kernels.lstm import lean_fits_vmem, lstm_recurrence_lean
+
+        if lean_fits_vmem(ff.shape[1], u.shape[0]):
+            return lstm_recurrence_lean(ff, u, mask, not on_tpu)
+        return None
 
     def init_state(self, batch, hidden):
         z = jnp.zeros((batch, hidden), dtype=jnp.float32)
