@@ -294,9 +294,12 @@ class _ConvStack(nn.Module):
             and kernel_supported(len_filt[0], n_filt[0])
             # bf16 compute mode: Mosaic's strided rotate is 32-bit-only
             # (measured r4; reconfirmed r5 — bf16 input hard-fails the
-            # kernel compile), so the fused layer-0 kernel is f32-input
-            # only and bf16 runs take the XLA conv path for layer 0
-            and x.dtype == jnp.float32
+            # kernel compile), so the kernel runs f32-in/f32-out with
+            # casts at the call boundary (below); its multiply dtype is
+            # bf16 either way, so the arithmetic is in-family.  Round-4's
+            # bf16 A/B lost the kernel entirely and fell to the 10 ms XLA
+            # conv stack — the boundary cast keeps the fused layer 0.
+            and x.dtype in (jnp.float32, jnp.bfloat16)
         )
         N = x.shape[0]
         x = x.reshape(N, self.inp_dim, 1) if cl else x.reshape(N, 1, self.inp_dim)
@@ -343,10 +346,12 @@ class _ConvStack(nn.Module):
                 gamma, beta = ln.affine()
                 b0 = (bias if bias is not None
                       else jnp.zeros((n_filt[0],), x.dtype))
+                f32 = jnp.float32
                 x = conv1d_pool_ln_act(
-                    x[:, :, 0], w2d, b0, gamma.T, beta.T, pool[0], ln.eps,
+                    x[:, :, 0].astype(f32), w2d.astype(f32), b0.astype(f32),
+                    gamma.T.astype(f32), beta.T.astype(f32), pool[0], ln.eps,
                     acts[0] == "relu", interp,
-                    "highest" if interp else "default")
+                    "highest" if interp else "default").astype(x.dtype)
                 fused0 = True
             elif cl and i == 0 and x.shape[2] == 1 and use_kernel:
                 # fused Pallas conv+pool for the C=1 first layer; the
@@ -358,8 +363,10 @@ class _ConvStack(nn.Module):
                 # on TPU: bf16-multiply "default" — the SAME arithmetic
                 # XLA's conv paths run there; interpret mode (CPU tests)
                 # keeps f32 so outputs match the f32 XLA paths exactly
-                x = conv1d_pool(x[:, :, 0], w2d, pool[i], interp,
-                                "highest" if interp else "default")
+                x = conv1d_pool(
+                    x[:, :, 0].astype(jnp.float32), w2d.astype(jnp.float32),
+                    pool[i], interp,
+                    "highest" if interp else "default").astype(x.dtype)
                 if bias is not None:
                     x = x + bias[None, None, :]
             elif cl:
