@@ -386,14 +386,14 @@ def test_conv1d_pool_ln_act_matches_composed(shape, relu):
     bt = jnp.asarray(0.1 * rng.standard_normal((M, O)), jnp.float32)
     proj = jnp.asarray(rng.standard_normal((N, M, O)), jnp.float32)
 
-    out_k = conv1d_pool_ln_act(x, w, bias, gt, bt, pool, 1e-6, relu,
-                               True, "highest")
+    out_k = conv1d_pool_ln_act(x, w, bias, gt, bt, 0, pool, 1e-6, relu,
+                               0.0, True, "highest")
     out_r = _composed_conv_pool_ln(x, w, bias, gt, bt, pool, 1e-6, relu)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                rtol=2e-4, atol=2e-5)
 
     def loss_k(*a):
-        return (conv1d_pool_ln_act(*a, pool, 1e-6, relu, True,
+        return (conv1d_pool_ln_act(*a, 0, pool, 1e-6, relu, 0.0, True,
                                    "highest") * proj).sum()
 
     def loss_r(*a):
@@ -427,7 +427,8 @@ def test_xla_composed_backward_matches_pallas_grads():
 
     def f_pallas(x, w, gt, bt):
         return (c1.conv1d_pool_ln_act(
-            x, w, b, gt, bt, P, 1e-5, True, True, "highest") ** 2).sum()
+            x, w, b, gt, bt, 0, P, 1e-5, True, 0.0, True,
+            "highest") ** 2).sum()
 
     def f_ref(x, w, gt, bt):
         return (c1._xla_conv_pool_ln_act(
@@ -435,8 +436,8 @@ def test_xla_composed_backward_matches_pallas_grads():
 
     # the reference forward itself must match the kernel forward
     np.testing.assert_allclose(
-        np.asarray(c1.conv1d_pool_ln_act(x, w, b, gt, bt, P, 1e-5, True,
-                                         True, "highest")),
+        np.asarray(c1.conv1d_pool_ln_act(x, w, b, gt, bt, 0, P, 1e-5,
+                                         True, 0.0, True, "highest")),
         np.asarray(c1._xla_conv_pool_ln_act(x, w, b, gt, bt, P, 1e-5, True,
                                             "highest")),
         rtol=1e-5, atol=1e-5)
@@ -462,6 +463,66 @@ def test_xla_composed_backward_matches_pallas_grads():
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b_) / scale,
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_dropout_mask_and_grads():
+    """conv1d_pool_ln_act with a fused dropout rate: (a) nonzero outputs
+    equal the no-drop reference scaled by 1/keep and the drop fraction is
+    ~rate, (b) the backward regenerates the identical mask — gradients
+    match jax.grad of the composed XLA chain with that mask applied
+    (relu=False so out==0 identifies dropped elements exactly)."""
+    from tpukaldi.kernels import conv1d as c1
+
+    rng = np.random.default_rng(11)
+    N, L, K, O, pool = 4, 512, 129, 128, 3
+    M = (L - K + 1) // pool
+    rate, keep = 0.25, 0.75
+    x = jnp.asarray(rng.standard_normal((N, L)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, O)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((O,)) * 0.1, jnp.float32)
+    gt = jnp.asarray(1.0 + 0.2 * rng.standard_normal((M, O)), jnp.float32)
+    bt = jnp.asarray(0.1 * rng.standard_normal((M, O)), jnp.float32)
+    proj = jnp.asarray(rng.standard_normal((N, M, O)), jnp.float32)
+    seed = jnp.asarray(12345, jnp.int32)
+
+    out_d = c1.conv1d_pool_ln_act(x, w, b, gt, bt, seed, pool, 1e-5,
+                                  False, rate, True, "highest")
+    out_r = c1._xla_conv_pool_ln_act(x, w, b, gt, bt, pool, 1e-5, False,
+                                     "highest")
+    mask = np.asarray(out_d) != 0.0
+    frac = 1.0 - mask.mean()
+    assert abs(frac - rate) < 0.01, frac
+    np.testing.assert_allclose(
+        np.asarray(out_d)[mask],
+        (np.asarray(out_r) * np.float32(1.0 / keep))[mask],
+        rtol=2e-5, atol=2e-6)
+    # same seed -> same mask; different seed -> different mask
+    out_d2 = c1.conv1d_pool_ln_act(x, w, b, gt, bt, seed, pool, 1e-5,
+                                   False, rate, True, "highest")
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_d2))
+    out_d3 = c1.conv1d_pool_ln_act(x, w, b, gt, bt, seed + 1, pool, 1e-5,
+                                   False, rate, True, "highest")
+    assert (np.asarray(out_d3) != np.asarray(out_d)).any()
+
+    mj = jnp.asarray(mask, jnp.float32) / keep
+
+    def loss_k(x, w, gt, bt):
+        return (c1.conv1d_pool_ln_act(x, w, b, gt, bt, seed, pool, 1e-5,
+                                      False, rate, True, "highest")
+                * proj).sum()
+
+    def loss_r(x, w, gt, bt):
+        return (c1._xla_conv_pool_ln_act(x, w, b, gt, bt, pool, 1e-5,
+                                         False, "highest") * mj
+                * proj).sum()
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(x, w, gt, bt)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, w, gt, bt)
+    for name, a, bb in zip("x w gt bt".split(), gk, gr):
+        scale = max(float(jnp.abs(bb).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(bb) / scale,
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
 
 
 def test_lstm_lean_kernel_forward_matches_bf16_product_scan():

@@ -175,6 +175,19 @@ def _fwd_kernel(x_hbm, wrev_ref, wtail_ref, y_ref, idx_ref, scratch, sems,
     jax.lax.fori_loop(0, WB, body, 0)
 
 
+def _pool_scatter(dy, idx, pool):
+    """Scatter the pooled cotangent through the saved argmax: (M, O) ->
+    (M*pool, O).  Built as pool 2-D lane-slice selects + ONE lane concat +
+    the row-split shape cast — the exact inverse of the forward's
+    row-merge pooling trick.  (The 'natural' 3-D route — broadcasted_iota
+    (M, pool, O) select + reshape — forces the same pool-wide sublane
+    retile the forward comment documents at ~1.8 ms/step; this form keeps
+    every op on (M, O) vregs.)"""
+    M, O = dy.shape
+    parts = [jnp.where(idx == i, dy, 0.0) for i in range(pool)]
+    return jnp.concatenate(parts, axis=1).reshape(M * pool, O)
+
+
 def _bwd_kernel(dy_ref, idx_ref, w_ref, wtail_ref, x_hbm, dwrev_ref,
                 dwtail_ref, dxs_ref, scratch, sems, *, K, pool, bt,
                 mul_dtype):
@@ -193,13 +206,9 @@ def _bwd_kernel(dy_ref, idx_ref, w_ref, wtail_ref, x_hbm, dwrev_ref,
 
     def body(w, _):
         dy = dy_ref[w, :, :].astype(jnp.float32)  # (bt, O)
-        idx = idx_ref[w, :, :]  # (bt, O) int8
+        idx = idx_ref[w, :, :].astype(jnp.int32)  # (bt, O)
 
-        sel = jax.lax.broadcasted_iota(
-            jnp.int32, (bt, pool, dy.shape[-1]), 1)
-        dconv = jnp.where(sel == idx[:, None, :].astype(jnp.int32),
-                          dy[:, None, :], 0.0)
-        dconv = dconv.reshape(ct, dy.shape[-1])  # (ct, O)
+        dconv = _pool_scatter(dy, idx, pool)  # (ct, O)
         dconv_m = dconv.astype(mul_dtype)
 
         rolled = _rolled(scratch, w)
@@ -550,9 +559,34 @@ def _colsum_f32(x):
     )
 
 
-def _fused_fwd_kernel(x_hbm, wrev_ref, wtail_ref, bias_ref, gt_ref, bt_ref,
-                      out_ref, idx_ref, stats_ref, scratch, sems,
-                      *, K, pool, M, eps, relu, mul_dtype):
+def _drop_mask(seed_ref, window_id, shape, drop):
+    """Regenerable inverted-dropout mask from a counter-based hash
+    (murmur3 fmix32 over element id ^ step seed ^ window id), so the
+    backward rebuilds the IDENTICAL mask without storing it — no 64 MB
+    mask residual crosses HBM and no threefry rematerialization (the
+    round-4 device trace put mask generation at ~0.6 ms/step for the
+    separate-dropout path; this is ~8 VPU int ops per element).  Pure jnp,
+    so the interpreter-mode CPU tests run the same bit stream as the TPU
+    kernel.  Keep-probability quantized to 1/2^32."""
+    M, O = shape
+    eid = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * jnp.uint32(O)
+           + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+    seed = jax.lax.bitcast_convert_type(
+        seed_ref[0, 0], jnp.uint32) * jnp.uint32(0x9E3779B1)
+    wid = window_id.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    h = eid * jnp.uint32(0xC2B2AE3D) ^ seed ^ wid
+    h ^= h >> 16
+    h *= jnp.uint32(0x85EBCA6B)
+    h ^= h >> 13
+    h *= jnp.uint32(0xC2B2AE35)
+    h ^= h >> 16
+    t = jnp.uint32(min(int(round((1.0 - drop) * 2.0 ** 32)), 2 ** 32 - 1))
+    return h < t
+
+
+def _fused_fwd_kernel(x_hbm, seed_ref, wrev_ref, wtail_ref, bias_ref,
+                      gt_ref, bt_ref, out_ref, idx_ref, stats_ref, scratch,
+                      sems, *, K, pool, M, eps, relu, drop, mul_dtype):
     ct = M * pool
     n = pl.program_id(0)
     _load_windows(x_hbm, scratch, sems, n, 0, ct + K - 1)
@@ -577,6 +611,9 @@ def _fused_fwd_kernel(x_hbm, wrev_ref, wtail_ref, bias_ref, gt_ref, bt_ref,
         z = (c * r) * gt_ref[:, :] + bt_ref[:, :]
         if relu:
             z = jnp.maximum(z, 0.0)
+        if drop > 0.0:
+            mask = _drop_mask(seed_ref, n * WB + w, (M, O), drop)
+            z = jnp.where(mask, z * (1.0 / (1.0 - drop)), 0.0)
         out_ref[w, :, :] = z.astype(out_ref.dtype)
         idx_ref[w, :, :] = idx.astype(jnp.int8)
         stats_ref[w, 0:1, :] = mu
@@ -586,11 +623,11 @@ def _fused_fwd_kernel(x_hbm, wrev_ref, wtail_ref, bias_ref, gt_ref, bt_ref,
     jax.lax.fori_loop(0, WB, body, 0)
 
 
-def _fused_bwd_kernel(dz_ref, idx_ref, stats_ref, w_ref, wrev_ref,
+def _fused_bwd_kernel(dz_ref, idx_ref, stats_ref, seed_ref, w_ref, wrev_ref,
                       wtail_ref, bias_ref, gt_ref, bt_ref, x_hbm,
                       dwrev_ref, dwtail_ref, dg_ref, db_ref, dbias_ref,
                       dxs_ref, scratch, sems, *, K, pool, M, eps, relu,
-                      mul_dtype):
+                      drop, mul_dtype):
     ct = M * pool
     n = pl.program_id(0)
     _load_windows(x_hbm, scratch, sems, n, 0, ct + K - 1)
@@ -624,6 +661,11 @@ def _fused_bwd_kernel(dz_ref, idx_ref, stats_ref, w_ref, wrev_ref,
         c = y - mu
         xhat = c * r
         dz = dz_ref[w, :, :].astype(jnp.float32)
+        if drop > 0.0:
+            # dropout is the LAST fwd op, so its backward applies first;
+            # the mask regenerates bit-identically from (seed, window id)
+            mask = _drop_mask(seed_ref, n * WB_FUSED_BWD + w, (M, O), drop)
+            dz = jnp.where(mask, dz * (1.0 / (1.0 - drop)), 0.0)
         if relu:
             z = xhat * gt_ref[:, :] + bt_ref[:, :]
             dz = jnp.where(z > 0.0, dz, 0.0)
@@ -651,9 +693,7 @@ def _fused_bwd_kernel(dz_ref, idx_ref, stats_ref, w_ref, wrev_ref,
         dy = r * dzg - c * fac - (r / M) * A
 
         # pool scatter + dW + dX — same passes as _bwd_kernel
-        sel = jax.lax.broadcasted_iota(jnp.int32, (M, pool, O), 1)
-        dconv = jnp.where(sel == idx[:, None, :], dy[:, None, :], 0.0)
-        dconv = dconv.reshape(ct, O)
+        dconv = _pool_scatter(dy, idx, pool)  # (ct, O)
         dconv_m = dconv.astype(mul_dtype)
         p2r = rolled[:, 128:128 + ct].astype(mul_dtype)
         dwrev_ref[:, :] += jax.lax.dot_general(
@@ -690,9 +730,10 @@ def _fused_bwd_kernel(dz_ref, idx_ref, stats_ref, w_ref, wrev_ref,
     jax.lax.fori_loop(0, WB_FUSED_BWD, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("pool", "eps", "relu",
+@functools.partial(jax.jit, static_argnames=("pool", "eps", "relu", "drop",
                                              "interpret", "precision"))
-def _fused_fwd(x, w, bias, gt, bt, pool, eps, relu, interpret, precision):
+def _fused_fwd(x, w, bias, gt, bt, seed, pool, eps, relu, drop, interpret,
+               precision):
     N, L = x.shape
     K, O = w.shape
     M = (L - K + 1) // pool
@@ -705,15 +746,18 @@ def _fused_fwd(x, w, bias, gt, bt, pool, eps, relu, interpret, precision):
     x3 = x.reshape(Np, 1, x.shape[1])
     bias8 = jnp.zeros((8, O), jnp.float32).at[0, :].set(
         bias.astype(jnp.float32))
+    seed2 = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     Wp = 128 + ct + 128
 
     out, idx, stats = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, K=K, pool=pool, M=M, eps=eps,
-                          relu=relu,
+                          relu=relu, drop=drop,
                           mul_dtype=_mul_dtype(precision, x.dtype)),
         grid=(Np // WB,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1), lambda n: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((128, O), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, O), lambda n: (0, 0), memory_space=pltpu.VMEM),
@@ -739,14 +783,19 @@ def _fused_fwd(x, w, bias, gt, bt, pool, eps, relu, interpret, precision):
             pltpu.SemaphoreType.DMA((WB,)),
         ],
         interpret=interpret,
-    )(x3, wrev, wtail, bias8, gt, bt)
+    )(x3, seed2, wrev, wtail, bias8, gt, bt)
     return out[:N], idx[:N], stats[:N]
 
 
 @functools.partial(jax.jit, static_argnames=("K", "pool", "eps", "relu",
-                                             "interpret", "precision"))
-def _fused_bwd(x, dz, idx, stats, w, bias, gt, bt, K, pool, eps, relu,
-               interpret, precision):
+                                             "drop", "interpret",
+                                             "precision"))
+def _fused_bwd(x, dz, idx, stats, seed, w, bias, gt, bt, K, pool, eps, relu,
+               drop, interpret, precision):
+    # fwd/bwd regenerate the dropout mask from (seed, absolute window id);
+    # the id decomposes as n*WB + w in BOTH kernels, which is only the
+    # same id when the two grids batch windows identically
+    assert WB == WB_FUSED_BWD or drop == 0.0
     N, L = x.shape
     _, M, O = dz.shape
     ct = M * pool
@@ -764,12 +813,13 @@ def _fused_bwd(x, dz, idx, stats, w, bias, gt, bt, K, pool, eps, relu,
     wrev, wtail = _w_split_rev(w, jnp.float32)
     bias8 = jnp.zeros((8, O), jnp.float32).at[0, :].set(
         bias.astype(jnp.float32))
+    seed2 = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     Wp = 128 + ct + 128
     Wd = ct + 128
 
     dwrev, dwtail, dg, db, dbias8, dxs = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, K=K, pool=pool, M=M, eps=eps,
-                          relu=relu,
+                          relu=relu, drop=drop,
                           mul_dtype=_mul_dtype(precision, x.dtype)),
         grid=(Np // WB_FUSED_BWD,),
         in_specs=[
@@ -779,6 +829,8 @@ def _fused_bwd(x, dz, idx, stats, w, bias, gt, bt, K, pool, eps, relu,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((WB_FUSED_BWD, 8, O), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda n: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((128, O), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, O), lambda n: (0, 0),
@@ -812,7 +864,7 @@ def _fused_bwd(x, dz, idx, stats, w, bias, gt, bt, K, pool, eps, relu,
             pltpu.SemaphoreType.DMA((WB_FUSED_BWD,)),
         ],
         interpret=interpret,
-    )(dz, idx, stats, w128, wrev, wtail, bias8, gt, bt, xp3)
+    )(dz, idx, stats, seed2, w128, wrev, wtail, bias8, gt, bt, xp3)
     dxs = dxs[:N, 0, :]
 
     main = min(K, 128)
@@ -827,26 +879,30 @@ def _fused_bwd(x, dz, idx, stats, w, bias, gt, bt, K, pool, eps, relu,
             db.astype(bt.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def conv1d_pool_ln_act(x, w, bias, gt, bt, pool: int, eps: float,
-                       relu: bool, interpret: bool = False,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def conv1d_pool_ln_act(x, w, bias, gt, bt, seed, pool: int, eps: float,
+                       relu: bool, drop: float = 0.0,
+                       interpret: bool = False,
                        precision: str = "default"):
     """Fused layer-0 chain: valid C=1 conv (x (N, L), w (K, O)) ->
     max-pool(pool) -> +bias (O,) -> laynorm over pooled time per filter
     (reference unbiased-std + eps-on-std quirk; affine gt/bt are the
-    (time, filt)-transposed full maps) -> optional relu.  Returns
-    (N, M, O) with M = (L-K+1)//pool.  Gradients flow to x, w, bias, gt,
-    bt.  Geometry must satisfy fused_ln_supported."""
-    out, _, _ = _fused_fwd(x, w, bias, gt, bt, pool, eps, relu, interpret,
-                           precision)
+    (time, filt)-transposed full maps) -> optional relu -> optional
+    inverted dropout (static rate `drop`, on-core PRNG seeded by the
+    int32 scalar `seed` + the window id; the backward regenerates the
+    identical mask, so no mask residual crosses HBM).  Returns (N, M, O)
+    with M = (L-K+1)//pool.  Gradients flow to x, w, bias, gt, bt.
+    Geometry must satisfy fused_ln_supported."""
+    out, _, _ = _fused_fwd(x, w, bias, gt, bt, seed, pool, eps, relu, drop,
+                           interpret, precision)
     return out
 
 
-def _fused_vjp_fwd(x, w, bias, gt, bt, pool, eps, relu, interpret,
-                   precision):
-    out, idx, stats = _fused_fwd(x, w, bias, gt, bt, pool, eps, relu,
-                                 interpret, precision)
-    return out, (x, w, bias, gt, bt, idx, stats)
+def _fused_vjp_fwd(x, w, bias, gt, bt, seed, pool, eps, relu, drop,
+                   interpret, precision):
+    out, idx, stats = _fused_fwd(x, w, bias, gt, bt, seed, pool, eps, relu,
+                                 drop, interpret, precision)
+    return out, (x, w, bias, gt, bt, seed, idx, stats)
 
 
 def _xla_conv_pool_ln_act(x, w, bias, gt, bt, pool, eps, relu, precision):
@@ -863,9 +919,17 @@ def _xla_conv_pool_ln_act(x, w, bias, gt, bt, pool, eps, relu, precision):
     return jnp.maximum(z, 0.0) if relu else z
 
 
-def _fused_vjp_bwd(pool, eps, relu, interpret, precision, res, dz):
-    x, w, bias, gt, bt, idx, stats = res
+def _fused_vjp_bwd(pool, eps, relu, drop, interpret, precision, res, dz):
+    import numpy as np
+
+    x, w, bias, gt, bt, seed, idx, stats = res
+    # seed is an integer primal: its cotangent type is float0
+    dseed = np.zeros(np.shape(seed), jax.dtypes.float0)
     if not interpret and _bwd_impl() == "xla":
+        # the XLA-composed A/B backward cannot regenerate the on-core
+        # PRNG mask; the dispatch layer (models/cnn.py) only fuses
+        # dropout on the pallas backward path
+        assert drop == 0.0, "xla bwd A/B path does not support fused drop"
         _, vjp = jax.vjp(
             lambda xx, ww, gg, bb: _xla_conv_pool_ln_act(
                 xx, ww, bias, gg, bb, pool, eps, relu, precision),
@@ -875,11 +939,12 @@ def _fused_vjp_bwd(pool, eps, relu, interpret, precision, res, dz):
         # dbias is EXACTLY zero analytically (the laynorm mean makes the
         # conv bias inert); composing through autodiff would only produce
         # ~1e-7 fp noise for the same quantity
-        return dx, dw, jnp.zeros_like(bias), dg, db
+        return dx, dw, jnp.zeros_like(bias), dg, db, dseed
     dx, dw, dbias, dg, db = _fused_bwd(
-        x, dz, idx, stats, w, bias, gt, bt, K=w.shape[0], pool=pool,
-        eps=eps, relu=relu, interpret=interpret, precision=precision)
-    return dx, dw, dbias, dg, db
+        x, dz, idx, stats, seed, w, bias, gt, bt, K=w.shape[0], pool=pool,
+        eps=eps, relu=relu, drop=drop, interpret=interpret,
+        precision=precision)
+    return dx, dw, dbias, dg, db, dseed
 
 
 conv1d_pool_ln_act.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)

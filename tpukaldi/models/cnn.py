@@ -305,6 +305,7 @@ class _ConvStack(nn.Module):
         x = x.reshape(N, self.inp_dim, 1) if cl else x.reshape(N, 1, self.inp_dim)
         current = self.inp_dim
         fused0 = False
+        fused_drop0 = False
         for i in range(len(n_filt)):
             if i == 0:
                 kernel, bias = self.first_layer_kernel(
@@ -346,13 +347,33 @@ class _ConvStack(nn.Module):
                 gamma, beta = ln.affine()
                 b0 = (bias if bias is not None
                       else jnp.zeros((n_filt[0],), x.dtype))
+                # fuse layer 0's dropout into the kernel (on-core PRNG;
+                # the backward regenerates the mask, so the separate
+                # FastDropout pass over the 64 MB pooled activation — and
+                # its threefry remat — disappears).  Mask stream differs
+                # from FastDropout's (same i.i.d. law); the XLA-composed
+                # bwd A/B path can't regenerate it, so it keeps the
+                # outer dropout.  TPUKALDI_FUSED_DROPOUT=0 restores the
+                # separate pass.
+                fdrop = 0.0
+                seed = 0
+                if (train and drop[0] > 0.0
+                        and os.environ.get("TPUKALDI_CONV_BWD",
+                                           "pallas") != "xla"
+                        and os.environ.get("TPUKALDI_FUSED_DROPOUT",
+                                           "1") != "0"):
+                    fdrop = drop[0]
+                    kd = self.make_rng("dropout")
+                    seed = jax.lax.bitcast_convert_type(
+                        jax.random.bits(kd, (), jnp.uint32), jnp.int32)
                 f32 = jnp.float32
                 x = conv1d_pool_ln_act(
                     x[:, :, 0].astype(f32), w2d.astype(f32), b0.astype(f32),
-                    gamma.T.astype(f32), beta.T.astype(f32), pool[0], ln.eps,
-                    acts[0] == "relu", interp,
+                    gamma.T.astype(f32), beta.T.astype(f32), seed, pool[0],
+                    ln.eps, acts[0] == "relu", fdrop, interp,
                     "highest" if interp else "default").astype(x.dtype)
                 fused0 = True
+                fused_drop0 = fdrop > 0.0
             elif cl and i == 0 and x.shape[2] == 1 and use_kernel:
                 # fused Pallas conv+pool for the C=1 first layer; the
                 # per-channel bias commutes with max-pool so it adds after
@@ -396,7 +417,8 @@ class _ConvStack(nn.Module):
                     x = xt.reshape(N, time, n_filt[i]).transpose(0, 2, 1)
             if not (i == 0 and fused0):
                 x = act_fun(acts[i])(x)
-            x = FastDropout(rate=drop[i], deterministic=not train)(x)
+            if not (i == 0 and fused_drop0):
+                x = FastDropout(rate=drop[i], deterministic=not train)(x)
             current = time
         if cl:
             # the reference flattens (N, filt, time) — restore that order
