@@ -571,8 +571,9 @@ def _drop_mask(seed_ref, window_id, shape, drop):
     M, O = shape
     eid = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * jnp.uint32(O)
            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
-    seed = jax.lax.bitcast_convert_type(
-        seed_ref[0, 0], jnp.uint32) * jnp.uint32(0x9E3779B1)
+    # int32 -> uint32 must be astype (mod-2^32 convert): Mosaic's
+    # tpu.bitcast is vector-only and rejects the SMEM scalar
+    seed = seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
     wid = window_id.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
     h = eid * jnp.uint32(0xC2B2AE3D) ^ seed ^ wid
     h ^= h >> 16
